@@ -1,0 +1,147 @@
+"""Static hash-token embedding — the model2vec analog.
+
+The reference embeds each line with a *static* model (model2vec
+``minishlab/potion-multilingual-128M``): per-token lookup into a fixed
+matrix, mean-pool, 256-dim f32 (reference: src/search/mod.rs:16,69 and
+src/workspace/store.rs:37). We reproduce the *shape* of that computation
+with a seeded hash-token table so the engine is fully self-contained and
+deterministic: token → md5-derived 64-bit key → Philox-seeded Gaussian
+vector, whitespace tokenization, 2048-token cap (reference:
+encode_with_args(.., Some(2048), 16384)), mean-pool, L2-normalize.
+
+Everything is NumPy-batched; the Spark surface is pandas UDFs over Arrow
+batches (batch size pinned to 16384 rows in session.py, mirroring the
+reference's embed batch). No per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DIM = 256  # reference LINE_EMBEDDING_SIZE, store.rs:37
+DEFAULT_SEED = 42
+MAX_TOKENS = 2048  # reference per-line token cap, search/mod.rs:69
+
+
+def token_key(token: str, seed: int = DEFAULT_SEED) -> int:
+    """Stable 64-bit key for a token (md5 of 'seed:token', first 8 bytes)."""
+    digest = hashlib.md5(f"{seed}:{token}".encode("utf-8", "surrogatepass")).digest()
+    return int.from_bytes(digest[:8], "big")
+
+
+class HashEmbedder:
+    """Deterministic static token-embedding table, generated on demand.
+
+    Token vectors are unit-variance Gaussians seeded per-token (Philox
+    counter RNG keyed by the token's md5-derived key), so any process —
+    driver, executor Python worker, test — derives identical vectors with
+    no model file to ship.
+    """
+
+    def __init__(self, dim: int = DEFAULT_DIM, seed: int = DEFAULT_SEED):
+        self.dim = dim
+        self.seed = seed
+        self._cache: dict[str, np.ndarray] = {}
+
+    def token_vector(self, token: str) -> np.ndarray:
+        vec = self._cache.get(token)
+        if vec is None:
+            rng = np.random.Generator(np.random.Philox(key=token_key(token, self.seed)))
+            vec = rng.standard_normal(self.dim).astype(np.float32)
+            self._cache[token] = vec
+        return vec
+
+    def embed_texts(self, texts: list[str], lowercase: bool = False) -> np.ndarray:
+        """Batch-embed: whitespace tokenize, cap at MAX_TOKENS, mean-pool,
+        L2-normalize. Empty/whitespace-only text → zero vector (caller drops
+        empty docs upstream, mirroring search/mod.rs:57-59)."""
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            if lowercase:
+                text = text.lower()
+            tokens = text.split()[:MAX_TOKENS]
+            if not tokens:
+                continue
+            acc = np.zeros(self.dim, dtype=np.float64)
+            for tok in tokens:
+                acc += self.token_vector(tok)
+            acc /= len(tokens)
+            norm = float(np.linalg.norm(acc))
+            if norm > 0.0:
+                acc /= norm
+            out[i] = acc.astype(np.float32)
+        return out
+
+    def embed_one(self, text: str, lowercase: bool = False) -> np.ndarray:
+        """Single-text embed (the reference's encode_single, used for the
+        query vector — computed on the driver, broadcast to executors)."""
+        return self.embed_texts([text], lowercase=lowercase)[0]
+
+
+def embed_udf(dim: int = DEFAULT_DIM, seed: int = DEFAULT_SEED, lowercase: bool = False):
+    """pandas UDF: string column → array<float> embedding column.
+
+    Iterator form so the embedding table cache persists across Arrow
+    batches within a task (one HashEmbedder per Python worker per task).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        embedder = HashEmbedder(dim=dim, seed=seed)
+        for s in batches:
+            mat = embedder.embed_texts(s.fillna("").tolist(), lowercase=lowercase)
+            yield pd.Series(list(mat))
+
+    return _embed
+
+
+def score_udf(
+    query_vec: np.ndarray,
+    dim: int = DEFAULT_DIM,
+    seed: int = DEFAULT_SEED,
+    lowercase: bool = False,
+):
+    """pandas UDF: string column → cosine *distance* (1 − cos sim) vs a fixed
+    query vector, computed as one matmul per Arrow batch (the simsimd-SIMD
+    analog of reference search/mod.rs:86). Embedding never leaves Python —
+    only the 8-byte distance crosses Arrow, minimizing transfer.
+    """
+    q = np.asarray(query_vec, dtype=np.float32)
+    qn = float(np.linalg.norm(q))
+    q = q / qn if qn > 0 else q
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        embedder = HashEmbedder(dim=dim, seed=seed)
+        for s in batches:
+            mat = embedder.embed_texts(s.fillna("").tolist(), lowercase=lowercase)
+            # rows are L2-normalized (or zero) → dot == cosine similarity
+            sims = mat @ q
+            yield pd.Series(1.0 - sims.astype(np.float64))
+
+    return _score
+
+
+def cosine_distance_udf():
+    """pandas UDF: (array<float>, array<float>) → cosine distance. For
+    pre-embedded columns (e.g. the embeddings testdata table)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        amat = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        bmat = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        num = np.einsum("ij,ij->i", amat, bmat)
+        den = np.linalg.norm(amat, axis=1) * np.linalg.norm(bmat, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(den > 0, num / den, 0.0)
+        return pd.Series(1.0 - sim)
+
+    return _dist
