@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship knowledge-graph construction pipeline
+(extract → link → canonicalize, SURVEY.md §7/M4) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` cover the operator inventory of
+SURVEY.md §2 plus the training-data-pipeline extensions (dedup families,
+similarity search, text analysis). Design rule for oracle parity: every
+numeric output is either an exact integer (md5-shared hashes, floor()ed
+micro-units, centi-int money) or a deterministic window/count — so the
+order-insensitive value-hash comparison is representation-stable across
+Spark and DuckDB.
 """
 
 from __future__ import annotations
@@ -12,27 +17,508 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from semtools_spark.embedding import HashEmbedder
+from semtools_spark.functions.hashing import (
+    minhash_sql_duckdb,
+    shingles_sql_duckdb,
+    simhash_sql_duckdb,
+)
+from semtools_spark.functions.vectors import (
+    cosine_distance_expr,
+    cosine_distance_sql_duckdb,
+    vector_literal,
+)
+from semtools_spark.operators import dedup, kg, similarity, textstats
+from semtools_spark.operators.workspace import classify_states
+
+DIM = 64  # testdata embedding dim; the engine parameterizes (reference: 256)
+QUERY_TEXT = "spark join vector"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec() -> list[float]:
+    return [float(x) for x in HashEmbedder(dim=DIM).embed_one(QUERY_TEXT)]
+
+
+def _query_vec_sql() -> str:
+    return "[" + ", ".join(repr(x) for x in _query_vec()) + "]"
+
+
+# --------------------------------------------------------------------------
+# entry: flagship KG pipeline
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: knowledge-graph construction over sf0.001 documents —
+    triple extraction → entity linking (broadcast cosine) → connected-
+    components canonicalization → canonical (subj, pred, obj) triples."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return kg.kg_pipeline(docs, dim=DIM)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_kg_triples(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = kg.extract_triples(docs)
+    return t.select(
+        F.col("doc").cast("long").alias("doc"),
+        F.col("pos").cast("int").alias("pos"),
+        "subj", "pred", "obj",
+    )
+
+
+def _q_kg_triple_counts(spark, sf_dir):
+    return (
+        _q_kg_triples(spark, sf_dir)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_kg_components(spark, sf_dir):
+    """CC over per-label vec_id chains (lag edges) — each label is one
+    chain of ~sf·50k nodes, so diameter stresses the O(log n) rounds."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    edges = (
+        emb.withColumn("prev", F.lag("vec_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("vec_id").alias("dst"))
+    )
+    comp = kg.connected_components(edges)
+    nodes = emb.select(F.col("vec_id").cast("long").alias("node"))
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).cast("long").alias("component")
+    )
+
+
+def _q_ann_search_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.brute_force_topk(emb, _query_vec(), k=10)
+    return res.select(F.col("vec_id").cast("long"), "dist_micro")
+
+
+def _q_ann_threshold(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.withColumn("__q", vector_literal(_query_vec())).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(cosine_distance_expr("embedding", "__q") * 1000000)
+        .cast("long")
+        .alias("dist_micro"),
+    )
+    return scored.filter(F.col("dist_micro") < 970000)
+
+
+def _q_ann_knn_blocked(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.knn_within_blocks(
+        emb, k=1, query_filter=(F.col("id") % 25 == 0)
+    )
+    return res.select(
+        F.col("q").cast("long"),
+        F.col("neighbor").cast("long"),
+        "dist_micro",
+        F.col("rank").cast("int"),
+    )
+
+
+def _q_w5_filtered_search(spark, sf_dir):
+    """W5 analog: subset filter pushed into the scan + per-label top-5."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isin(1, 2, 3))
+    scored = emb.withColumn("__q", vector_literal(_query_vec())).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(cosine_distance_expr("embedding", "__q") * 1000000)
+        .cast("long")
+        .alias("dist_micro"),
+    )
+    w = Window.partitionBy("label").orderBy("dist_micro", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _q_ctx_window(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # RANGE (not ROWS) frame: (l_orderkey, l_linenumber) is not unique in
+    # this synthetic data, so a ROWS frame would be tie-order-dependent
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(F.col("l_linenumber").cast("int"))
+        .rangeBetween(-1, 1)
+    )
+    return li.select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_linenumber").cast("int"),
+        F.sum(F.col("l_quantity").cast("long")).over(w).alias("ctx_qty"),
+    )
+
+
+def _q_sort_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_orderkey").cast("long"),
+            F.col("l_linenumber").cast("int"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_centi"),
+        )
+        .orderBy(F.desc("price_centi"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+def _q_grep(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = F.regexp_count(F.col("text"), F.lit(r"vector\s+window")).cast("long")
+    return (
+        docs.select(F.col("doc_id").cast("long"), n.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def _q_w1_states(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("doc"),
+        F.col("n_chars").cast("long").alias("size_bytes"),
+        F.lit(0).cast("long").alias("mtime"),
+    )
+    manifest = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("doc"),
+        (
+            F.col("n_chars") + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)
+        ).cast("long").alias("size_bytes"),
+        F.lit(0).cast("long").alias("mtime"),
+        F.lit(1).alias("_version"),
+    )
+    return classify_states(incoming, manifest, key="doc").select(
+        F.col("doc").cast("long").alias("doc_id"), "state"
+    )
+
+
+def _q_w2_semi_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_semi"
+    ).select(F.col("o_orderkey").cast("long"), F.col("o_custkey").cast("long"))
+
+
+def _q_w8_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").cast("long"), "c_name")
+
+
+def _q_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 in exact integer arithmetic (centi/micro units) so the
+    aggregate is bit-identical regardless of summation order."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100).cast("long")
+    tax_c = F.floor(F.col("l_tax") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_centi"),
+            F.sum(price_c * (100 - disc_c)).alias("sum_disc_e4"),
+            F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("sum_charge_e6"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty_milli", F.floor(F.col("sum_qty") * 1000 / F.col("count_order")).cast("long"))
+    )
+
+
+def _q_q3_top_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = (F.floor(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.floor(F.col("l_discount") * 100).cast("long")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select(F.col("l_orderkey").cast("long"), "revenue_e4")
+        .orderBy(F.desc("revenue_e4"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents")).select(
+        "text_hash", "n_copies", F.col("keep_id").cast("long")
+    )
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    sig = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=8
+    )
+    return sig.select(F.col("doc_id").cast("long"), *[f"mh{i}" for i in range(8)])
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_cols=("lang", "source"),
+        min_jaccard_micro=5000,
+    )
+    return pairs.select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "inter", "uni", "jac_micro"
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    sig = dedup.simhash_buckets(_t(spark, sf_dir, "documents"), bits=16)
+    return sig.select(F.col("doc_id").cast("long"), F.col("simhash").cast("long"))
+
+
+def _q_text_profile(spark, sf_dir):
+    return textstats.profile(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long"),
+        "n_tokens",
+        "lang_pred",
+        "quality_milli",
+        F.col("fingerprint").cast("long"),
+    )
+
+
+def _q_lang_distribution(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum(F.col("n_chars").cast("long")).alias("total_chars"))
+    )
+
+
+def _q_p1_passthrough(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.col("source"), F.lit("/doc"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, ".txt").otherwise(".html"),
+    )
+    exts = ["txt", "md", "rst", "org", "csv", "json", "xml", "yaml", "yml"]
+    passthrough = F.lower(F.regexp_extract(url, r"\.([^.]+)$", 1)).isin(exts)
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        url.alias("url"),
+        passthrough.cast("int").alias("passthrough"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_triples": _q_kg_triples,
+        "kg_triple_counts": _q_kg_triple_counts,
+        "kg_components": _q_kg_components,
+        "ann_search_topk": _q_ann_search_topk,
+        "ann_threshold": _q_ann_threshold,
+        "ann_knn_blocked": _q_ann_knn_blocked,
+        "w5_filtered_search": _q_w5_filtered_search,
+        "s7_ctx_window": _q_ctx_window,
+        "s8_sort_limit": _q_sort_limit,
+        "a3_grep": _q_grep,
+        "w1_incremental_states": _q_w1_states,
+        "w2_semi_join": _q_w2_semi_join,
+        "w8_anti_join": _q_w8_anti_join,
+        "q1_pricing": _q_q1_pricing,
+        "q3_top_orders": _q_q3_top_orders,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_profile": _q_text_profile,
+        "lang_distribution": _q_lang_distribution,
+        "p1_passthrough": _q_p1_passthrough,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views: region nation customer supplier part
+# orders lineitem events documents embeddings)
+# --------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qv = _query_vec_sql()
+    dist = cosine_distance_sql_duckdb("embedding", f"{qv}")
+    words = "regexp_split_to_array(trim(text), '\\s+')"
+    # CTE producing (doc_id, lang, source, sh) with distinct 3-gram shingles
+    shingle_cte = (
+        f"WITH dw AS (SELECT doc_id, lang, source, {words} AS w FROM documents), "
+        f"d AS (SELECT doc_id, lang, source, "
+        f"list_distinct({shingles_sql_duckdb('w', 3)}) AS sh FROM dw)"
+    )
+    triples_cte = kg.extract_triples_oracle_sql()
+
+    return {
+        "kg_triples": triples_cte,
+        "kg_triple_counts": (
+            f"WITH t AS ({triples_cte}) "
+            "SELECT subj, pred, obj, COUNT(*) AS n FROM t GROUP BY 1, 2, 3"
+        ),
+        "kg_components": (
+            "SELECT CAST(vec_id AS BIGINT) AS node, "
+            "CAST(min(vec_id) OVER (PARTITION BY label) AS BIGINT) AS component "
+            "FROM embeddings"
+        ),
+        "ann_search_topk": (
+            f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(floor(({dist}) * 1000000) AS BIGINT) AS dist_micro "
+            f"FROM embeddings ORDER BY dist_micro, vec_id LIMIT 10"
+        ),
+        "ann_threshold": (
+            f"SELECT vec_id, dist_micro FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(floor(({dist}) * 1000000) AS BIGINT) AS dist_micro FROM embeddings) "
+            f"WHERE dist_micro < 970000"
+        ),
+        "ann_knn_blocked": (
+            "SELECT CAST(l.vec_id AS BIGINT) AS q, CAST(r.vec_id AS BIGINT) AS neighbor, "
+            "CAST(floor(("
+            + cosine_distance_sql_duckdb("l.embedding", "r.embedding")
+            + ") * 1000000) AS BIGINT) AS dist_micro, "
+            "CAST(row_number() OVER (PARTITION BY l.vec_id ORDER BY "
+            "CAST(floor(("
+            + cosine_distance_sql_duckdb("l.embedding", "r.embedding")
+            + ") * 1000000) AS BIGINT), r.vec_id) AS INTEGER) AS rank "
+            "FROM embeddings l JOIN embeddings r ON l.label = r.label AND l.vec_id <> r.vec_id "
+            "WHERE l.vec_id % 25 = 0 QUALIFY rank <= 1"
+        ),
+        "w5_filtered_search": (
+            f"SELECT label, vec_id, dist_micro, rank FROM ("
+            f"SELECT CAST(label AS INTEGER) AS label, CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(floor(({dist}) * 1000000) AS BIGINT) AS dist_micro, "
+            f"CAST(row_number() OVER (PARTITION BY label ORDER BY "
+            f"CAST(floor(({dist}) * 1000000) AS BIGINT), vec_id) AS INTEGER) AS rank "
+            f"FROM embeddings WHERE label IN (1, 2, 3)) WHERE rank <= 5"
+        ),
+        "s7_ctx_window": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(l_linenumber AS INTEGER) AS l_linenumber, "
+            "sum(CAST(l_quantity AS BIGINT)) OVER ("
+            "PARTITION BY l_orderkey ORDER BY CAST(l_linenumber AS INTEGER) "
+            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ctx_qty FROM lineitem"
+        ),
+        "s8_sort_limit": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(l_linenumber AS INTEGER) AS l_linenumber, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_centi "
+            "FROM lineitem ORDER BY price_centi DESC, l_orderkey, l_linenumber LIMIT 20"
+        ),
+        "a3_grep": (
+            "SELECT doc_id, n_matches FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(len(regexp_extract_all(text, 'vector\\s+window')) AS BIGINT) AS n_matches "
+            "FROM documents) WHERE n_matches > 0"
+        ),
+        "w1_incremental_states": (
+            "WITH incoming AS (SELECT doc_id AS doc, n_chars AS sz FROM documents WHERE doc_id % 11 <> 0), "
+            "manifest AS (SELECT doc_id AS doc, n_chars + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS sz "
+            "FROM documents WHERE doc_id % 5 <> 0) "
+            "SELECT CAST(coalesce(i.doc, m.doc) AS BIGINT) AS doc_id, "
+            "CASE WHEN m.doc IS NULL THEN 'new' WHEN i.doc IS NULL THEN 'stale' "
+            "WHEN i.sz <> m.sz THEN 'changed' ELSE 'unchanged' END AS state "
+            "FROM incoming i FULL OUTER JOIN manifest m ON i.doc = m.doc"
+        ),
+        "w2_semi_join": (
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey "
+            "FROM orders WHERE EXISTS (SELECT 1 FROM customer "
+            "WHERE c_custkey = o_custkey AND c_acctbal > 5000)"
+        ),
+        "w8_anti_join": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_centi, "
+            "sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS sum_disc_e4, "
+            "sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT)) "
+            "* (100 + CAST(floor(l_tax * 100) AS BIGINT))) AS sum_charge_e6, "
+            "count(*) AS count_order, "
+            "CAST(floor(sum(CAST(l_quantity AS BIGINT)) * 1000.0 / count(*)) AS BIGINT) AS avg_qty_milli "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_top_orders": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, sum("
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+            ") AS revenue_e4 FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+            "GROUP BY l_orderkey ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, count(*) AS n_copies, "
+            "CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY 1"
+        ),
+        "dedup_minhash": (
+            f"{shingle_cte} SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            + ", ".join(minhash_sql_duckdb("sh", 8))
+            + " FROM d"
+        ),
+        "dedup_jaccard": (
+            f"{shingle_cte} "
+            "SELECT * FROM ("
+            "SELECT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b, "
+            "CAST(len(list_intersect(l.sh, r.sh)) AS BIGINT) AS inter, "
+            "CAST(len(list_distinct(l.sh || r.sh)) AS BIGINT) AS uni, "
+            "CAST(CASE WHEN len(list_distinct(l.sh || r.sh)) > 0 THEN "
+            "floor((1000000 * len(list_intersect(l.sh, r.sh))) / len(list_distinct(l.sh || r.sh))) "
+            "ELSE 0 END AS BIGINT) AS jac_micro "
+            "FROM d l JOIN d r ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id) "
+            "WHERE jac_micro >= 5000"
+        ),
+        "dedup_simhash": (
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"CAST({simhash_sql_duckdb(words, 16)} AS BIGINT) AS simhash FROM documents"
+        ),
+        "text_profile": (
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"{textstats.token_count_sql_duckdb('text')} AS n_tokens, "
+            f"{textstats.lang_id_sql_duckdb('text')} AS lang_pred, "
+            f"{textstats.quality_score_sql_duckdb('text')} AS quality_milli, "
+            f"CAST({textstats.fingerprint64_sql_duckdb('text')} AS BIGINT) AS fingerprint "
+            f"FROM documents"
+        ),
+        "lang_distribution": (
+            "SELECT lang, count(*) AS n, sum(CAST(n_chars AS BIGINT)) AS total_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "p1_passthrough": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "source || '/doc' || CAST(doc_id AS VARCHAR) || "
+            "(CASE WHEN doc_id % 4 = 0 THEN '.txt' ELSE '.html' END) AS url, "
+            "CAST(CASE WHEN lower(regexp_extract("
+            "source || '/doc' || CAST(doc_id AS VARCHAR) || (CASE WHEN doc_id % 4 = 0 THEN '.txt' ELSE '.html' END), "
+            "'\\.([^.]+)$', 1)) IN ('txt','md','rst','org','csv','json','xml','yaml','yml') "
+            "THEN 1 ELSE 0 END AS INTEGER) AS passthrough "
+            "FROM documents"
+        ),
+    }

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf", ...}.
+
+Headline metric: total wall seconds across the suite. Also reports
+triples/sec for the flagship KG pipeline (the BASELINE.json metric).
+Run with SPARK_GRAFT_CPUS=8 and =32 on the same input to measure the
+two-parallelism scaling efficiency recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline queries: flagship KG stages + the heaviest operator families
+BENCH_QUERIES = [
+    "kg_triples",
+    "kg_triple_counts",
+    "kg_components",
+    "ann_search_topk",
+    "ann_knn_blocked",
+    "s7_ctx_window",
+    "q1_pricing",
+    "q3_top_orders",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "text_profile",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entry_mod
+    from semtools_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    qs = entry_mod.queries()
+
+    # warm the JVM/Python-worker pool outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    n_triples = 0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        cnt = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "kg_triples":
+            n_triples = cnt
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / timings["kg_triples"], 1)
+        if timings.get("kg_triples")
+        else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

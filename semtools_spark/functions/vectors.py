@@ -40,10 +40,12 @@ def cosine_distance_expr(a: str, b: str) -> Column:
 
 
 def dot_sql_duckdb(a: str, b: str) -> str:
-    """DuckDB rendering of dot_expr (list_zip + unnest-free reduce)."""
+    """DuckDB rendering of dot_expr. list_reduce is a sequential left fold,
+    matching Spark's aggregate() summation order bit-for-bit — required so
+    floor(dist·1e6) integerization agrees across engines."""
     return (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
-        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
     )
 
 

@@ -1,0 +1,182 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five strategies, cheapest-first — all shuffle only what they must:
+
+  exact_duplicates     hash-groupBy on md5(text): one shuffle on a 32-byte
+                       key, map-side partial agg.
+  minhash_signatures   k permutation-min hashes over word shingles —
+                       map-only JVM expressions (md5-derived, shared with
+                       the DuckDB oracle).
+  minhash_lsh_pairs    band the signature, shuffle once on (band, band-hash)
+                       buckets, self-join *within buckets only* — the
+                       classic MinHash+LSH that avoids all-pairs at scale.
+  ngram_jaccard_pairs  exact Jaccard on shingle sets within explicit blocks
+                       (the verifier for LSH candidates; integer output).
+  simhash_buckets      1-bit random-hyperplane signature per doc (32-bit),
+                       bucket by signature for near-dup grouping.
+  embedding_near_dups  cosine near-dup pairs over an embedding column,
+                       blocked to avoid all-pairs.
+
+Every numeric output is integer arithmetic → bit-exact vs the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semtools_spark.functions.hashing import (
+    MINHASH_PRIME,
+    minhash_coeffs,
+    minhash_signature_cols,
+    shingles,
+    simhash64,
+)
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate groups: (text_hash, n_copies, keep_id) for every
+    content hash, keep_id = min doc id (the canonical survivor)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def with_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("__w", F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) minhash signature per doc. Map-only."""
+    d = with_words(docs, text_col).withColumn(
+        "__sh", F.array_distinct(shingles("__w", shingle_n))
+    )
+    return d.select(F.col(id_col), *minhash_signature_cols("__sh", num_hashes, seed))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: equal band-signature in ≥1
+    band. Shuffles on (band, signature-slice) — never all-pairs. Returns
+    distinct (a, b) with a < b."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", *[F.col(c).cast("string") for c in mh_cols[b * rows_per_band:(b + 1) * rows_per_band]]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    ).filter(~F.col("band_sig").contains("NULL") & (F.length("band_sig") > 0))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    shingle_n: int = 3,
+    min_jaccard_micro: int = 0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every pair *within a block* (blocking
+    bounds the quadratic term; at web scale blocks come from LSH buckets).
+    Integer output: (a, b, inter, uni, jac_micro = 1e6·inter // uni)."""
+    d = with_words(docs, text_col).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(shingles("__w", shingle_n)).alias("sh"),
+    )
+    l, r = d.alias("l"), d.alias("r")
+    cond = (F.col("l.id") < F.col("r.id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    pairs = l.join(r, cond).select(
+        F.col("l.id").alias("a"),
+        F.col("r.id").alias("b"),
+        F.size(F.array_intersect("l.sh", "r.sh")).cast("long").alias("inter"),
+        F.size(F.array_union("l.sh", "r.sh")).cast("long").alias("uni"),
+    )
+    # floor() on both sides (Spark cast truncates, DuckDB cast rounds —
+    # floor is the portable integerization)
+    pairs = pairs.withColumn(
+        "jac_micro",
+        F.when(
+            F.col("uni") > 0,
+            F.floor((F.lit(1000000) * F.col("inter")) / F.col("uni")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return pairs.filter(F.col("jac_micro") >= min_jaccard_micro)
+
+
+def simhash_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(id, simhash) — equal or near-equal (low Hamming distance) signatures
+    mark near-duplicates; grouping by signature is the O(n) dedup pass."""
+    d = with_words(docs, text_col)
+    return d.select(F.col(id_col), simhash64("__w", bits).alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    max_distance: float = 0.1,
+) -> DataFrame:
+    """Cosine near-dup pairs within blocks over a pre-embedded column,
+    JVM-side (codegen) cosine. Returns (a, b, dist_micro)."""
+    from semtools_spark.functions.vectors import cosine_distance_expr
+
+    d = emb.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    )
+    l, r = d.alias("l"), d.alias("r")
+    pairs = l.join(
+        r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))
+    ).select(
+        F.col("l.id").alias("a"),
+        F.col("r.id").alias("b"),
+        F.floor(cosine_distance_expr("l.v", "r.v") * 1000000).cast("long").alias("dist_micro"),
+    )
+    return pairs.filter(F.col("dist_micro") < int(max_distance * 1000000))

@@ -1,0 +1,375 @@
+"""Knowledge-graph construction — the north-rule extension of the
+reference's parse→embed→search core.
+
+Stages (all DataFrame-native; pandas UDFs only at the embedding boundary):
+
+  1. extract_triples: deterministic pattern extraction over token streams —
+     (subj, pred, obj) where pred ∈ RELATIONS and subj/obj ∈ ENTITIES in a
+     consecutive token window. Pure JVM expressions (split + transform +
+     filter), fully oracle-expressible in SQL, trivially parallel — no
+     shuffle at all until the optional distinct.
+  2. link_entities: mention surface forms → canonical entity ids by cosine
+     top-1 against a BROADCAST entity-embedding matrix (the reference's
+     brute-force cosine scan, search/mod.rs:77-120, generalized from 1
+     query to M mentions). The catalog is small (≤10^6 entities × 256
+     floats = 1 GB ceiling; ours far less) — broadcast, never shuffled.
+     An LSH-bucketed variant (semtools_spark.operators.similarity) bounds
+     the per-row work when the catalog outgrows broadcast.
+  3. connected_components: canonicalize co-referring surface forms with the
+     alternating large-star/small-star algorithm (Kiveris et al.,
+     "Connected Components in MapReduce and Beyond", public) — O(log n)
+     rounds of hash-join + aggregate, each round localCheckpoint()ed to
+     cut lineage; AQE handles skewed hub nodes (hot entities).
+  4. materialize_graph: triples + node/edge tables written as parquet
+     (Iceberg stand-in), partitioned by hash of subject for co-located
+     downstream joins.
+
+Scale notes (100 TB target): stage 1 is map-only; stage 2 is map-only with
+a broadcast build side; stage 3 shuffles only the *edge* relation (orders
+of magnitude smaller than the corpus) and converges in ~log(diameter)
+rounds; stage 4 writes partitioned by subj-hash so graph queries co-locate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from semtools_spark.embedding import DEFAULT_SEED, HashEmbedder
+
+# Deterministic extraction vocabulary over the synthetic corpora's word
+# soup: relations are the verb-like tokens, entities the noun-like ones.
+RELATIONS = ("join", "merge", "filter", "scan", "sort", "agg", "dup")
+ENTITIES = (
+    "spark", "table", "row", "column", "customer", "line", "part", "order",
+    "key", "window", "vector", "hash", "batch", "stream", "query", "data",
+    "group", "value",
+)
+
+
+def _sql_list(items) -> str:
+    return ", ".join(f"'{x}'" for x in items)
+
+
+def extract_triples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    relations: tuple[str, ...] = RELATIONS,
+    entities: tuple[str, ...] = ENTITIES,
+) -> DataFrame:
+    """(doc, pos, subj, pred, obj) for every consecutive token window
+    (e_i, r_{i+1}, e_{i+2}) with r ∈ relations and e ∈ entities.
+
+    Whole plan is scan → project → explode → filter: map-only, no shuffle;
+    Catalyst prunes the scan to (id, text).
+    """
+    w = "__words"
+    cand = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.split(F.col(text_col), r"\s+").alias(w),
+        )
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({w}) < 3 THEN array() "
+                    f"ELSE transform(sequence(0, size({w}) - 3), i -> "
+                    f"struct(i AS pos, {w}[i] AS subj, {w}[i+1] AS pred, {w}[i+2] AS obj)) END"
+                )
+            ).alias("t"),
+        )
+        .select("doc", "t.pos", "t.subj", "t.pred", "t.obj")
+    )
+    return cand.filter(
+        F.col("pred").isin(list(relations))
+        & F.col("subj").isin(list(entities))
+        & F.col("obj").isin(list(entities))
+    )
+
+
+def extract_triples_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    relations: tuple[str, ...] = RELATIONS,
+    entities: tuple[str, ...] = ENTITIES,
+) -> str:
+    """DuckDB rendering of extract_triples (packed string + split_part, since
+    DuckDB's unnest of struct-lists doesn't splat into columns)."""
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS doc, regexp_split_to_array({text_col}, '\\s+') AS w
+  FROM {table} WHERE {text_col} IS NOT NULL AND length({text_col}) > 0
+), cand AS (
+  SELECT doc, unnest(
+    CASE WHEN len(w) < 3 THEN []
+    ELSE list_transform(range(1, len(w) - 1),
+         i -> (i - 1)::VARCHAR || chr(9) || w[i] || chr(9) || w[i+1] || chr(9) || w[i+2])
+    END) AS packed
+  FROM words
+)
+SELECT doc,
+       CAST(split_part(packed, chr(9), 1) AS INTEGER) AS pos,
+       split_part(packed, chr(9), 2) AS subj,
+       split_part(packed, chr(9), 3) AS pred,
+       split_part(packed, chr(9), 4) AS obj
+FROM cand
+WHERE split_part(packed, chr(9), 3) IN ({_sql_list(relations)})
+  AND split_part(packed, chr(9), 2) IN ({_sql_list(entities)})
+  AND split_part(packed, chr(9), 4) IN ({_sql_list(entities)})
+""".strip()
+
+
+def build_entity_catalog(
+    spark: SparkSession,
+    names: list[str] | None = None,
+    dim: int = 64,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Small canonical-entity table (entity_id, name, embedding) embedded
+    with the same static model as mentions — the broadcast build side."""
+    names = list(names or ENTITIES)
+    emb = HashEmbedder(dim=dim, seed=seed)
+    mat = emb.embed_texts(names)
+    rows = [(i, n, [float(x) for x in mat[i]]) for i, n in enumerate(names)]
+    schema = T.StructType(
+        [
+            T.StructField("entity_id", T.LongType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def link_entities(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    *,
+    mention_col: str = "mention",
+    dim: int = 64,
+    seed: int = DEFAULT_SEED,
+    max_distance: float | None = None,
+) -> DataFrame:
+    """Cosine top-1 link of each distinct mention surface form against the
+    catalog. The catalog matrix rides inside the pandas UDF closure
+    (task-broadcast); per Arrow batch this is ONE matmul + argmin — the
+    M-query generalization of the reference's brute-force scan.
+
+    Returns (mention, entity_id, link_distance). Distinct mentions are
+    linked once, then the (small) mapping can be broadcast-joined back to
+    the full mention stream by the caller.
+    """
+    pdf = catalog.select("entity_id", "embedding").toPandas()
+    ids = np.asarray(pdf["entity_id"], dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = (mat / norms[:, None]).astype(np.float32)
+
+    out_t = T.StructType(
+        [
+            T.StructField("entity_id", T.LongType()),
+            T.StructField("link_distance", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _link(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        embedder = HashEmbedder(dim=dim, seed=seed)
+        for s in batches:
+            q = embedder.embed_texts(s.fillna("").tolist())  # (n, dim), normalized
+            sims = q @ matn.T  # (n, |catalog|)
+            best = sims.argmax(axis=1)
+            dist = 1.0 - sims[np.arange(len(s)), best].astype(np.float64)
+            yield pd.DataFrame({"entity_id": ids[best], "link_distance": dist})
+
+    linked = mentions.select(F.col(mention_col).alias("mention")).distinct()
+    linked = linked.withColumn("__l", _link(F.col("mention"))).select(
+        "mention", F.col("__l.entity_id"), F.col("__l.link_distance")
+    )
+    if max_distance is not None:
+        linked = linked.filter(F.col("link_distance") < float(max_distance))
+    return linked
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+
+    Alternating large-star / small-star (Kiveris et al., MapReduce CC):
+    converges in O(log n) rounds even on long chains (label propagation
+    would need O(diameter)). Each round is groupBy(min) + join; the edge
+    relation is localCheckpoint()ed per round to cut lineage growth —
+    the per-round write is the resume point at cluster scale (a parquet
+    checkpoint swap-in is a one-liner where a durable store exists).
+
+    Skew: hub nodes (hot entities) concentrate a key; AQE skew-join is on
+    (session.py) and large-star's neighbor-min aggregation is a map-side
+    partial aggregate, so hubs cost O(|Γ(hub)|) map work, not a hot reduce.
+    """
+    # symmetric, dedup'd, self-loop-free edge list as (u, v) longs
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    def _min_nbr(df: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}) — partial-aggregated map-side
+        return df.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    for _ in range(max_iterations):
+        # Large-star: for v ∈ Γ(u) with v > u: connect v → m(u)
+        m = _min_nbr(e)
+        large = (
+            e.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # keep u→m(u) links so components stay connected
+        e2 = large.union(m.select(F.col("u"), F.col("m").alias("v"))).filter(
+            F.col("u") != F.col("v")
+        )
+        e2 = e2.union(e2.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+        # Small-star: for v ∈ Γ(u) with v ≤ u: connect v → m(u)
+        m2 = _min_nbr(e2)
+        small = (
+            e2.join(m2, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+        )
+        new_e = small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        new_e = new_e.localCheckpoint(eager=True)
+
+        # convergence: edge multiset fixed (cheap count+checksum probe)
+        old_sig = e.agg(
+            F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
+        ).first()
+        new_sig = new_e.agg(
+            F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
+        ).first()
+        e = new_e
+        if (old_sig.c, old_sig.s) == (new_sig.c, new_sig.s):
+            break
+
+    # after convergence every node points at its component min
+    comp = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    return comp.select(F.col("u").alias("node"), "component")
+
+
+def canonicalize_mentions(
+    linked: DataFrame, mention_offset: int = 1_000_000_000
+) -> DataFrame:
+    """Surface-form canonicalization: union mention→entity links into a
+    bipartite graph (mentions offset into a disjoint id space), run CC,
+    and return (mention, canonical_id). Two surface forms linked to the
+    same entity — or transitively via shared entities — canonicalize
+    together."""
+    m_ids = linked.select(
+        "mention",
+        (F.abs(F.xxhash64("mention")) % F.lit(mention_offset) + F.lit(mention_offset)).alias(
+            "mention_node"
+        ),
+        "entity_id",
+    )
+    edges = m_ids.select(
+        F.col("mention_node").alias("src"), F.col("entity_id").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        m_ids.join(comp, m_ids.mention_node == comp.node, "left")
+        .select(
+            "mention",
+            "entity_id",
+            F.coalesce("component", "entity_id").alias("canonical_id"),
+        )
+    )
+
+
+def materialize_graph(
+    triples: DataFrame, out_dir: str, num_buckets: int = 32
+) -> dict[str, str]:
+    """Write triples + node/edge tables, partitioned by subject hash so
+    downstream graph joins co-locate (the bucketing stand-in without a
+    catalog). Returns the written paths."""
+    paths = {
+        "triples": f"{out_dir}/triples.parquet",
+        "nodes": f"{out_dir}/nodes.parquet",
+        "edges": f"{out_dir}/edges.parquet",
+    }
+    t = triples.withColumn(
+        "bucket", F.pmod(F.xxhash64("subj"), F.lit(num_buckets)).cast("int")
+    )
+    t.repartition(num_buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(paths["triples"])
+    nodes = (
+        triples.select(F.col("subj").alias("name"))
+        .union(triples.select(F.col("obj").alias("name")))
+        .distinct()
+        .withColumn("node_id", F.abs(F.xxhash64("name")))
+    )
+    nodes.write.mode("overwrite").parquet(paths["nodes"])
+    edges = (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("weight"))
+    )
+    edges.write.mode("overwrite").parquet(paths["edges"])
+    return paths
+
+
+def kg_pipeline(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """End-to-end: extract → link (subjects+objects as mentions) → CC
+    canonicalize → canonical triples with provenance counts.
+
+    Returns (subj, pred, obj, subj_id, obj_id, n_mentions) — the flagship
+    query of this engine.
+    """
+    spark = docs.sparkSession
+    triples = extract_triples(docs, id_col=id_col, text_col=text_col)
+    catalog = build_entity_catalog(spark, dim=dim, seed=seed)
+    mentions = (
+        triples.select(F.col("subj").alias("mention"))
+        .union(triples.select(F.col("obj").alias("mention")))
+    )
+    linked = link_entities(mentions, catalog, dim=dim, seed=seed)
+    canon = canonicalize_mentions(linked)
+    c_subj = canon.select(
+        F.col("mention").alias("subj"), F.col("canonical_id").alias("subj_id")
+    )
+    c_obj = canon.select(
+        F.col("mention").alias("obj"), F.col("canonical_id").alias("obj_id")
+    )
+    return (
+        triples.join(F.broadcast(c_subj), "subj", "left")
+        .join(F.broadcast(c_obj), "obj", "left")
+        .groupBy("subj", "pred", "obj", "subj_id", "obj_id")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("subj", "pred", "obj")
+    )

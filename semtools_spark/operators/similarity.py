@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns.
+
+brute_force_topk     exact cosine top-k per query against the corpus —
+                     JVM-side codegen cosine + TakeOrderedAndProject for
+                     one query; window row_number for query batches.
+knn_within_blocks    per-row top-k neighbors inside explicit blocks
+                     (label / LSH bucket) — the bounded-pairs pattern.
+lsh_bucket_ann       random-hyperplane LSH: signature → bucket, candidates
+                     from same bucket (∪ probe buckets), exact re-rank.
+                     The scale path: shuffles on the bucket key only.
+
+Distances are floor()ed to integer micro-units so oracle comparison is
+representation-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from semtools_spark.functions.vectors import cosine_distance_expr, vector_literal
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for one query vector: map-side distance, partial top-k
+    per partition, driver merge (TakeOrderedAndProject) — no shuffle."""
+    scored = emb.withColumn("__q", vector_literal(query_vec)).select(
+        F.col(id_col),
+        F.floor(cosine_distance_expr(vec_col, "__q") * 1000000)
+        .cast("long")
+        .alias("dist_micro"),
+    )
+    return scored.orderBy("dist_micro", id_col).limit(k)
+
+
+def knn_within_blocks(
+    emb: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    query_filter=None,
+) -> DataFrame:
+    """For each (filtered) row, its k nearest neighbors within its block:
+    block-equi-join (shuffle on the block key, never all-pairs) + windowed
+    row_number. Returns (q, neighbor, dist_micro, rank)."""
+    d = emb.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    )
+    q = d if query_filter is None else d.filter(query_filter)
+    pairs = (
+        q.alias("l")
+        .join(d.alias("r"), (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") != F.col("r.id")))
+        .select(
+            F.col("l.id").alias("q"),
+            F.col("r.id").alias("neighbor"),
+            F.floor(cosine_distance_expr("l.v", "r.v") * 1000000)
+            .cast("long")
+            .alias("dist_micro"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy("dist_micro", "neighbor")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (int bucket 0..2^n_planes−1),
+    JVM-side: sign of dot(v, h_j) per seeded hyperplane. The hyperplanes
+    are md5-seeded Gaussians — reproducible anywhere."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    planes = rng.standard_normal((n_planes, dim))
+    sig = None
+    out = emb
+    for j in range(n_planes):
+        term = (
+            F.when(
+                F.expr(
+                    "aggregate(zip_with({v}, array({h}), (x, y) -> CAST(x AS DOUBLE) * y), "
+                    "0.0D, (acc, t) -> acc + t)".format(
+                        v=vec_col, h=", ".join(f"{x!r}D" for x in planes[j])
+                    )
+                )
+                > 0,
+                F.lit(1 << j),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        sig = term if sig is None else (sig + term)
+    return out.withColumn("lsh_bucket", sig)
+
+
+def lsh_bucket_ann(
+    emb: DataFrame,
+    k: int = 1,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+) -> DataFrame:
+    """Approximate kNN: candidates share an LSH bucket, exact cosine
+    re-rank within bucket. Same output shape as knn_within_blocks."""
+    bucketed = hyperplane_signature(emb, n_planes, dim, seed, vec_col)
+    return knn_within_blocks(
+        bucketed, k=k, id_col=id_col, vec_col=vec_col,
+        block_col="lsh_bucket", query_filter=query_filter,
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure JVM expressions (split / regexp / aggregate) — whole-stage
+codegen, no Python, and every output is an integer or string so the
+DuckDB oracle comparison is bit-exact. Each builder has a matching
+*_sql_duckdb renderer used by __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (BIGINT; 0 for empty)."""
+    return (
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
+    )
+
+
+def token_count_sql_duckdb(text_expr: str = "text") -> str:
+    return (
+        f"CAST(CASE WHEN length(trim({text_expr})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text_expr}), '\\s+')) END AS BIGINT)"
+    )
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    words = LANG_MARKERS[lang]
+    arr = f"split(trim({text_col}), '\\\\s+')"
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter({arr}, t -> t IN ({lst})))"
+    ).cast("long")
+
+
+def lang_id_expr(text_col: str = "text") -> Column:
+    """Pick the language whose marker-word hit count is highest
+    (ties → lexicographic language code; 'und' when no marker hits)."""
+    scored = [
+        F.struct(stopword_hits(text_col, lang).alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ]
+    # max over structs orders by hits then lang; invert lang order so that
+    # ties resolve to the lexicographically *smallest* code
+    best = F.greatest(*[
+        F.struct(s.hits.alias("hits"), F.lit(-i).alias("ord"), s.lang.alias("lang"))
+        for i, s in enumerate(scored)
+    ])
+    return F.when(best.hits > 0, best.lang).otherwise(F.lit("und"))
+
+
+def lang_id_sql_duckdb(text_expr: str = "text") -> str:
+    arr = f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    cases = []
+    for i, lang in enumerate(sorted(LANG_MARKERS)):
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hits = f"len(list_filter({arr}, t -> t IN ({lst})))"
+        cases.append(f"({hits}, {-i}, '{lang}')")
+    rows = ", ".join(f"{c}" for c in cases)
+    return (
+        f"(SELECT CASE WHEN max(s)[1] > 0 THEN max(s)[3] ELSE 'und' END "
+        f"FROM (SELECT unnest([{rows}]) AS s))"
+    )
+
+
+def quality_score_milli(text_col: str = "text") -> Column:
+    """Integer quality score in [0, 1000]: mean of three simple signals —
+    length band (50..2000 chars), alpha-token ratio, mean-word-length band
+    (3..12). Deterministic integer arithmetic only."""
+    n_chars = F.length(F.col(text_col))
+    arr = f"split(trim({text_col}), '\\\\s+')"
+    n_tok = token_count(text_col)
+    alpha = F.expr(f"size(filter({arr}, t -> t rlike '^[A-Za-z]+$'))").cast("long")
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 2000), 1000).otherwise(0)
+    alpha_ratio = F.when(n_tok > 0, (alpha * 1000) / n_tok).otherwise(F.lit(0))
+    mean_wl = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0))
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1000).otherwise(0)
+    return ((len_ok + F.floor(alpha_ratio) + wl_ok) / 3).cast("long")
+
+
+def quality_score_sql_duckdb(text_expr: str = "text") -> str:
+    arr = f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    n_tok = token_count_sql_duckdb(text_expr)
+    n_chars = f"length({text_expr})"
+    alpha = f"len(list_filter({arr}, t -> regexp_matches(t, '^[A-Za-z]+$')))"
+    len_ok = f"CASE WHEN {n_chars} BETWEEN 50 AND 2000 THEN 1000 ELSE 0 END"
+    alpha_ratio = f"CASE WHEN {n_tok} > 0 THEN floor(({alpha} * 1000.0) / {n_tok}) ELSE 0 END"
+    mean_wl = f"CASE WHEN {n_tok} > 0 THEN ({n_chars} - ({n_tok} - 1.0)) / {n_tok} ELSE 0 END"
+    wl_ok = f"CASE WHEN {mean_wl} BETWEEN 3 AND 12 THEN 1000 ELSE 0 END"
+    return f"CAST(floor((({len_ok}) + ({alpha_ratio}) + ({wl_ok})) / 3.0) AS BIGINT)"
+
+
+def fingerprint64(text_col: str = "text") -> Column:
+    """Order-invariant document fingerprint: sum of md5-derived 32-bit
+    token hashes of the *distinct* token set, mod 2^31−1. Shared exactly
+    with DuckDB (rolling-hash analog of the reference's content keys)."""
+    arr = f"array_distinct(split(trim({text_col}), '\\\\s+'))"
+    return F.expr(
+        f"aggregate({arr}, 0L, (acc, t) -> "
+        f"(acc + conv(substring(md5(t), 1, 8), 16, 10)) % 2147483647L)"
+    )
+
+
+def fingerprint64_sql_duckdb(text_expr: str = "text") -> str:
+    arr = f"list_distinct(regexp_split_to_array(trim({text_expr}), '\\s+'))"
+    return (
+        f"list_sum(list_transform({arr}, "
+        f"t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)) % 2147483647"
+    )
+
+
+def profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per doc: token count, detected language, quality score,
+    fingerprint — the text-analysis sweep a training pipeline runs first."""
+    return docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        lang_id_expr(text_col).alias("lang_pred"),
+        quality_score_milli(text_col).alias("quality_milli"),
+        fingerprint64(text_col).alias("fingerprint"),
+    )

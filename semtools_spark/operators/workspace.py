@@ -1,0 +1,275 @@
+"""Workspace — the reference's persistent incremental embedding store
+(src/workspace/, 1,687 LoC) re-expressed as parquet tables + joins.
+
+Reference semantics reproduced (file:line cites into /root/reference):
+  W1 incremental state scan (New/Changed/Unchanged by size/mtime/_version)
+                                              workspace/store.rs:549-611
+  W2 metadata lookup (semi-join, ≤1000-path chunks — an artifact Spark
+     doesn't need; ours is one join)          store.rs:185-232
+  W3/W4 idempotent upsert via deterministic keys (FNV-1a ids → natural
+     keys (url) / (url, line_no) + MERGE)     store.rs:373-434,650-661
+  W5 filtered ANN search + threshold pushdown + 2× oversample
+     (ours is exact per-partition top-k — strictly better than the
+     reference's oversample heuristic, which can miss)  store.rs:481-546
+  W6 final merge-sort + truncate              store.rs:538-545
+  W7 cascade delete                           store.rs:235-370
+  W8 prune = stored ∖ existing (anti-join)    cmds/workspace.rs:115-160
+  W9 exact counts / stats                     store.rs:614-637,437-445
+
+Storage: two parquet tables under a workspace root (the Iceberg stand-in —
+no connector jars in this sandbox; the MERGE is emulated as
+anti-join ∪ updates with an atomic directory swap, which preserves the
+idempotent-upsert semantics the reference gets from content-derived ids).
+At cluster scale the same code targets Iceberg `MERGE INTO` — the join
+shape is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from semtools_spark.embedding import DEFAULT_SEED, embed_udf
+from semtools_spark.operators.search import split_lines
+
+CURRENT_EMBEDDING_VERSION = 1  # reference CURRENT_EMBEDDING_VERSION, store.rs:29-34
+
+STATE_NEW = "new"
+STATE_CHANGED = "changed"
+STATE_UNCHANGED = "unchanged"
+STATE_STALE = "stale"  # in store but no longer in the source → prune target
+
+
+def classify_states(
+    incoming: DataFrame,
+    manifest: DataFrame | None,
+    key: str = "doc",
+    cmp_cols: tuple[str, ...] = ("size_bytes", "mtime"),
+    version_col: str = "_version",
+) -> DataFrame:
+    """W1: full-outer join of incoming metadata vs the stored manifest →
+    (key, state). Changed iff any cmp col differs or the stored _version
+    lags CURRENT_EMBEDDING_VERSION (store.rs:549-611; version bump forces
+    re-embed per store.rs:1217-1260 test)."""
+    if manifest is None or manifest.isEmpty():
+        return incoming.select(F.col(key), F.lit(STATE_NEW).alias("state"))
+    inc = incoming.select(
+        F.col(key).alias("__ik"), *[F.col(c).alias(f"__i_{c}") for c in cmp_cols]
+    )
+    man_cols = [F.col(key).alias("__mk")] + [
+        F.col(c).alias(f"__m_{c}") for c in cmp_cols
+    ]
+    if version_col in manifest.columns:
+        man_cols.append(F.col(version_col).alias("__m_ver"))
+    man = manifest.select(*man_cols)
+    j = inc.join(man, inc["__ik"] == man["__mk"], "full_outer")
+    changed = F.lit(False)
+    for c in cmp_cols:
+        changed = changed | (F.col(f"__i_{c}") != F.col(f"__m_{c}"))
+    if version_col in manifest.columns:
+        changed = changed | (F.col("__m_ver") < F.lit(CURRENT_EMBEDDING_VERSION))
+    state = (
+        F.when(F.col("__mk").isNull(), STATE_NEW)
+        .when(F.col("__ik").isNull(), STATE_STALE)
+        .when(changed, STATE_CHANGED)
+        .otherwise(STATE_UNCHANGED)
+    )
+    return j.select(F.coalesce("__ik", "__mk").alias(key), state.alias("state"))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+) -> None:
+    """Emulated ``MERGE INTO table USING updates ON keys WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT``: kept = target ⟕̸ updates (left anti),
+    result = kept ∪ updates, written with an atomic directory swap.
+    Idempotent: re-running with identical updates yields the same table
+    (the reference gets this from FNV-1a content ids, store.rs:972-975)."""
+    if os.path.isdir(table_path):
+        target = spark.read.parquet(table_path)
+        kept = target.join(
+            updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
+        )
+        merged = kept.unionByName(updates.select(*target.columns))
+    else:
+        merged = updates
+    _atomic_overwrite(merged, table_path)
+
+
+def delete_keys(
+    spark: SparkSession, table_path: str, keys: DataFrame, key_cols: tuple[str, ...]
+) -> int:
+    """W7: DELETE FROM table WHERE keys IN (...) via anti-join rewrite.
+    Returns rows deleted."""
+    if not os.path.isdir(table_path):
+        return 0
+    target = spark.read.parquet(table_path)
+    before = target.count()
+    kept = target.join(keys.select(*key_cols).distinct(), list(key_cols), "left_anti")
+    n_kept = kept.count()
+    _atomic_overwrite(kept, table_path)
+    return before - n_kept
+
+
+def _atomic_overwrite(df: DataFrame, table_path: str) -> None:
+    """Write-then-swap so readers never see a half-written table and a
+    killed job leaves the old snapshot intact (the resume unit)."""
+    tmp = f"{table_path}.__tmp_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{table_path}.__old_{uuid.uuid4().hex}"
+    if os.path.exists(table_path):
+        os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+class Workspace:
+    """Persistent line-embedding store with incremental maintenance —
+    the `semtools workspace` analog. Tables under ``root``:
+
+      doc_manifest:    (doc, size_bytes, mtime, _version)
+      line_embeddings: (doc, line_no, line, embedding)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dim: int = 64,
+        seed: int = DEFAULT_SEED,
+    ):
+        self.spark = spark
+        self.root = root
+        self.dim = dim
+        self.seed = seed
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "doc_manifest.parquet")
+
+    @property
+    def lines_path(self) -> str:
+        return os.path.join(self.root, "line_embeddings.parquet")
+
+    def manifest(self) -> DataFrame | None:
+        if not os.path.isdir(self.manifest_path):
+            return None
+        return self.spark.read.parquet(self.manifest_path)
+
+    def lines(self) -> DataFrame | None:
+        if not os.path.isdir(self.lines_path):
+            return None
+        return self.spark.read.parquet(self.lines_path)
+
+    # ---- W1-W4: incremental sync --------------------------------------
+    def sync(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        mtime_col: str | None = None,
+    ) -> dict[str, int]:
+        """Classify docs vs the manifest, (re-)embed only New ∪ Changed
+        lines, MERGE both tables. Returns state counts (the reference's
+        workspace-mode search driver, search/mod.rs:146-216)."""
+        meta = docs.select(
+            F.col(id_col).alias("doc"),
+            F.length(text_col).cast("long").alias("size_bytes"),
+            (F.col(mtime_col) if mtime_col else F.lit(0)).cast("long").alias("mtime"),
+        )
+        states = classify_states(meta, self.manifest(), key="doc")
+        counts = {
+            r["state"]: r["n"]
+            for r in states.groupBy("state").agg(F.count("*").alias("n")).collect()
+        }
+        todo = states.filter(F.col("state").isin(STATE_NEW, STATE_CHANGED)).select("doc")
+        if counts.get(STATE_NEW, 0) + counts.get(STATE_CHANGED, 0) > 0:
+            docs_todo = docs.join(
+                F.broadcast(todo), docs[id_col] == todo["doc"], "left_semi"
+            )
+            lines = split_lines(docs_todo, id_col=id_col, text_col=text_col)
+            emb = lines.withColumn(
+                "embedding", embed_udf(dim=self.dim, seed=self.seed)(F.col("line"))
+            )
+            merge_upsert(self.spark, self.lines_path, emb, ("doc", "line_no"))
+            man_updates = meta.join(F.broadcast(todo), "doc", "left_semi").withColumn(
+                "_version", F.lit(CURRENT_EMBEDDING_VERSION)
+            )
+            merge_upsert(self.spark, self.manifest_path, man_updates, ("doc",))
+        return counts
+
+    # ---- W5/W6: filtered search ----------------------------------------
+    def search(
+        self,
+        query: str,
+        top_k: int = 3,
+        max_distance: float | None = None,
+        doc_subset: list | None = None,
+        ignore_case: bool = False,
+    ) -> DataFrame:
+        """Cosine search over stored line embeddings with optional doc
+        filter (the reference pushes `path IN (...)` into qdrant,
+        store.rs:508-515; ours is a partition-prunable isin filter).
+        Exact per-partition top-k + global merge — no oversampling error."""
+        from semtools_spark.embedding import HashEmbedder
+        from semtools_spark.functions.vectors import cosine_distance_expr, vector_literal
+
+        stored = self.lines()
+        if stored is None:
+            return self.spark.createDataFrame(
+                [], "doc long, line_no int, line string, distance double"
+            )
+        if doc_subset is not None:
+            stored = stored.filter(F.col("doc").isin(doc_subset))
+        q = query.lower() if ignore_case else query
+        qvec = HashEmbedder(dim=self.dim, seed=self.seed).embed_one(q)
+        scored = stored.withColumn("__q", vector_literal(qvec)).select(
+            "doc",
+            "line_no",
+            "line",
+            cosine_distance_expr("embedding", "__q").alias("distance"),
+        )
+        if max_distance is not None:
+            scored = scored.filter(F.col("distance") < float(max_distance))
+            return scored.orderBy("distance", "doc", "line_no")
+        return scored.orderBy("distance", "doc", "line_no").limit(top_k)
+
+    # ---- W7/W8: delete & prune -----------------------------------------
+    def delete(self, doc_ids: list) -> dict[str, int]:
+        """W7 cascade delete: manifest row + all line embeddings."""
+        keys = self.spark.createDataFrame([(d,) for d in doc_ids], "doc long")
+        return {
+            "docs": delete_keys(self.spark, self.manifest_path, keys, ("doc",)),
+            "lines": delete_keys(self.spark, self.lines_path, keys, ("doc",)),
+        }
+
+    def prune(self, existing_docs: DataFrame, id_col: str = "doc_id") -> dict[str, int]:
+        """W8: stored ∖ existing → cascade delete (anti-join prune)."""
+        man = self.manifest()
+        if man is None:
+            return {"docs": 0, "lines": 0}
+        stale = man.join(
+            existing_docs.select(F.col(id_col).alias("doc")), "doc", "left_anti"
+        ).select("doc")
+        ids = [r.doc for r in stale.collect()]
+        return self.delete(ids) if ids else {"docs": 0, "lines": 0}
+
+    # ---- W9: stats -------------------------------------------------------
+    def stats(self) -> dict:
+        man, lines = self.manifest(), self.lines()
+        return {
+            "total_documents": man.count() if man is not None else 0,
+            "total_lines": lines.count() if lines is not None else 0,
+            "dim": self.dim,
+            "index_type": "exact-cosine",  # vs reference HNSW (store.rs:443)
+        }

@@ -1,0 +1,144 @@
+"""KG pipeline: triple extraction rule, entity linking, and connected
+components checked against a pure-Python union-find oracle on chains,
+stars, forests, and seeded random graphs (long chains stress the
+O(log n)-round convergence)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from semtools_spark.operators import kg
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for nodes in comp.values():
+        m = min(nodes)
+        for x in nodes:
+            out[x] = m
+    return out
+
+
+def _check_cc(spark, edges, n_nodes):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in kg.connected_components(df).collect()}
+    want = _uf_components(n_nodes, edges)
+    touched = {u for e in edges for u in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_cc_long_chain(spark):
+    edges = [(i, i + 1) for i in range(200)]
+    _check_cc(spark, edges, 201)
+
+
+def test_cc_star_hub(spark):
+    edges = [(0, i) for i in range(1, 60)]
+    _check_cc(spark, edges, 60)
+
+
+def test_cc_forest_of_components(spark):
+    edges = [(i, i + 1) for i in range(0, 30, 3)]  # pairs: 0-1, 3-4, ...
+    _check_cc(spark, edges, 31)
+
+
+def test_cc_random_graph(spark):
+    rnd = random.Random(7)
+    n = 120
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(90)]
+    edges = [(u, v) for u, v in edges if u != v]
+    _check_cc(spark, edges, n)
+
+
+def test_cc_two_cliques_bridge(spark):
+    a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    _check_cc(spark, a + b + [(4, 10)], 15)
+
+
+@pytest.fixture(scope="module")
+def tri_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark join table extra words table merge row"),
+            (1, "filter spark join"),  # 'filter spark join' has no entity after join
+            (2, "customer filter order"),
+            (3, ""),
+            (4, "nonentity join table spark join nonentity"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_extract_triples_rule(spark, tri_docs):
+    rows = {
+        (r.doc, r.pos, r.subj, r.pred, r.obj)
+        for r in kg.extract_triples(tri_docs).collect()
+    }
+    assert rows == {
+        (0, 0, "spark", "join", "table"),
+        (0, 5, "table", "merge", "row"),
+        (2, 0, "customer", "filter", "order"),
+    }
+
+
+def test_extract_triples_plan_is_map_only(spark, tri_docs):
+    plan = kg.extract_triples(tri_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: scan → project → explode → filter
+
+
+def test_link_entities_exact_surface_forms(spark):
+    catalog = kg.build_entity_catalog(spark, ["spark", "table", "row"], dim=64)
+    mentions = spark.createDataFrame(
+        [("spark",), ("table",), ("row",), ("spark",)], ["mention"]
+    )
+    got = {r.mention: (r.entity_id, r.link_distance) for r in
+           kg.link_entities(mentions, catalog, dim=64).collect()}
+    assert set(got) == {"spark", "table", "row"}  # distinct mentions linked once
+    assert got["spark"][0] == 0 and got["spark"][1] < 1e-6
+    assert got["table"][0] == 1 and got["row"][0] == 2
+
+
+def test_canonicalize_merges_shared_entity(spark):
+    linked = spark.createDataFrame(
+        [("spark", 1), ("Spark", 1), ("apache spark", 1), ("table", 2)],
+        ["mention", "entity_id"],
+    )
+    rows = kg.canonicalize_mentions(linked).collect()
+    canon = {r.mention: r.canonical_id for r in rows}
+    assert canon["spark"] == canon["Spark"] == canon["apache spark"] == 1
+    assert canon["table"] == 2
+
+
+def test_kg_pipeline_on_testdata(documents):
+    out = kg.kg_pipeline(documents).collect()
+    assert len(out) > 10
+    for r in out[:50]:
+        assert r.pred in kg.RELATIONS and r.subj in kg.ENTITIES and r.obj in kg.ENTITIES
+        assert r.n_mentions >= 1 and r.subj_id is not None
+
+
+def test_materialize_graph(spark, tri_docs, tmp_path):
+    triples = kg.extract_triples(tri_docs)
+    paths = kg.materialize_graph(triples, str(tmp_path), num_buckets=4)
+    t = spark.read.parquet(paths["triples"])
+    assert t.count() == 3 and "bucket" in t.columns
+    assert spark.read.parquet(paths["edges"]).count() == 3
+    nodes = spark.read.parquet(paths["nodes"])
+    assert {r.name for r in nodes.collect()} == {"spark", "table", "row", "customer", "order"}
