@@ -1,0 +1,156 @@
+"""North-rule gates: byte-identical extraction per url, golden-fixture
+P/R ≥ 0.95, and checkpoint-manifest resume after injected failure."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from semtools_spark.operators.parse import (
+    parse_incremental,
+    parse_pages,
+    passthrough_predicate,
+)
+from semtools_spark.pipeline import StageFailure, run_webkg_pipeline
+from semtools_spark.sources.web_pages import generate_web_pages, write_web_pages
+
+N_PAGES = 300
+SEED = 42
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", f"webkg_graph_n{N_PAGES}_s{SEED}.jsonl"
+)
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "web_pages.parquet")
+    write_web_pages(spark, path, N_PAGES, SEED)
+    return path
+
+
+def test_corpus_schema_and_determinism(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    assert dict(df.dtypes) == {
+        "url": "string", "warc_ts": "timestamp", "html": "binary",
+        "text": "string", "lang": "string",
+    }
+    assert df.count() == N_PAGES
+    # regenerating (different partitioning) yields the identical corpus
+    again = generate_web_pages(spark, N_PAGES, SEED, num_partitions=3)
+    sub = df.select("url", "text", "lang", "warc_ts")
+    assert again.select("url", "text", "lang", "warc_ts").exceptAll(sub).count() == 0
+
+
+def test_extraction_byte_identical_per_url(spark, pages_path):
+    """The input_hint invariant: extract(html) == text for EVERY url —
+    both the passthrough branch and the html-extraction branch."""
+    pages = spark.read.parquet(pages_path)
+    parsed = parse_pages(pages).withColumnRenamed("text", "extracted")
+    joined = parsed.join(pages.select("url", "text"), "url")
+    assert joined.count() == N_PAGES
+    mismatches = joined.filter(F.col("extracted") != F.col("text")).count()
+    assert mismatches == 0
+    # both branches are non-trivially exercised
+    n_pass = pages.filter(passthrough_predicate()).count()
+    assert 0 < n_pass < N_PAGES
+
+
+def test_parse_incremental_anti_join(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    full_manifest = pages.select(
+        "url", F.octet_length("html").alias("size_bytes"), "warc_ts"
+    )
+    # manifest covering all but 10 urls → exactly those 10 re-parse
+    manifest = full_manifest.filter(F.xxhash64("url") % 30 != 0)
+    n_expected = N_PAGES - manifest.count()
+    parsed, new_rows = parse_incremental(pages, manifest)
+    assert parsed.count() == n_expected
+    assert new_rows.count() == n_expected
+    # changed page (size drift) re-parses even when the url is present
+    drifted = full_manifest.withColumn(
+        "size_bytes",
+        F.when(F.xxhash64("url") % 7 == 0, F.col("size_bytes") + 1).otherwise(
+            F.col("size_bytes")
+        ),
+    )
+    n_drift = full_manifest.join(drifted, ["url", "size_bytes", "warc_ts"], "left_anti").count()
+    parsed2, _ = parse_incremental(pages, drifted)
+    assert parsed2.count() == n_drift > 0
+
+
+def test_pipeline_matches_golden_fixture(spark, pages_path, tmp_path):
+    """P/R vs the committed single-node reference run (BASELINE.json gate:
+    ≥ 0.95; deterministic engine ⇒ expect exactly 1.0)."""
+    out = str(tmp_path / "kg_out")
+    report = run_webkg_pipeline(spark, pages_path, out, dim=64, seed=SEED)
+    got = {
+        (r.subj, r.pred, r.obj, r.subj_id, r.obj_id, r.n_mentions)
+        for r in spark.read.parquet(report["paths"]["graph"]).collect()
+    }
+    with open(FIXTURE) as f:
+        want = {
+            (d["subj"], d["pred"], d["obj"], d["subj_id"], d["obj_id"], d["n_mentions"])
+            for d in (json.loads(line) for line in f)
+        }
+    assert want, "fixture missing/empty"
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_pipeline_resume_after_failure(spark, pages_path, tmp_path):
+    """Kill after stage 'triples'; rerun must (a) skip recomputing parse
+    and triples — their parquet part files are untouched on disk — and
+    (b) produce output identical to a clean run."""
+    out = str(tmp_path / "kg_resume")
+    with pytest.raises(StageFailure):
+        run_webkg_pipeline(spark, pages_path, out, seed=SEED, fail_after="triples")
+
+    def part_mtimes(stage):
+        d = os.path.join(out, f"{stage}.parquet")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {s: part_mtimes(s) for s in ("parse", "triples")}
+    report = run_webkg_pipeline(spark, pages_path, out, seed=SEED)
+    after = {s: part_mtimes(s) for s in ("parse", "triples")}
+    assert before == after, "resume rewrote already-committed stages"
+    assert report["stages"]["parse"]["skipped"]
+    assert report["stages"]["triples"]["skipped"]
+    assert not report["stages"]["graph"]["skipped"]
+
+    clean = str(tmp_path / "kg_clean")
+    clean_report = run_webkg_pipeline(spark, pages_path, clean, seed=SEED)
+    a = spark.read.parquet(report["paths"]["graph"])
+    b = spark.read.parquet(clean_report["paths"]["graph"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # manifest carries per-partition lineage with real row/byte counts
+    with open(report["manifest"]) as f:
+        entries = [json.loads(line) for line in f]
+    by_stage = {e["stage"]: e for e in entries}
+    assert set(by_stage) == {"parse", "triples", "link", "canon", "graph"}
+    for e in by_stage.values():
+        assert e["partitions"] and all(p["bytes"] > 0 for p in e["partitions"])
+        assert e["rows"] == sum(p["rows"] for p in e["partitions"])
+
+
+def test_pipeline_input_change_invalidates_fingerprint(spark, tmp_path):
+    """A changed input corpus must re-run parse (fingerprint mismatch)."""
+    p1 = str(tmp_path / "c1.parquet")
+    write_web_pages(spark, p1, 50, SEED)
+    out = str(tmp_path / "kg_fp")
+    r1 = run_webkg_pipeline(spark, p1, out, seed=SEED)
+    assert not r1["stages"]["parse"]["skipped"]
+    write_web_pages(spark, p1, 60, SEED)  # corpus grew
+    r2 = run_webkg_pipeline(spark, p1, out, seed=SEED)
+    assert not r2["stages"]["parse"]["skipped"]
+    assert spark.read.parquet(r2["paths"]["parse"]).count() == 60
