@@ -31,7 +31,11 @@ from semtools_spark.functions.vectors import (
     cosine_distance_sql_duckdb,
     vector_literal,
 )
-from semtools_spark.operators import dedup, kg, similarity, textstats
+from semtools_spark.operators import dedup, kg, multimodal, similarity, textstats
+from semtools_spark.operators.similarity import (
+    int_hyperplane_signature,
+    int_hyperplane_signature_sql_duckdb,
+)
 from semtools_spark.operators.workspace import classify_states
 
 DIM = 64  # testdata embedding dim; the engine parameterizes (reference: 256)
@@ -96,7 +100,10 @@ def _q_kg_components(spark, sf_dir):
         .filter(F.col("prev").isNotNull())
         .select(F.col("prev").alias("src"), F.col("vec_id").alias("dst"))
     )
-    comp = kg.connected_components(edges)
+    # force the distributed large-star/small-star path (the scale path is
+    # what this gate certifies; the adaptive driver shortcut has its own
+    # unit tests)
+    comp = kg.connected_components(edges, small_graph_threshold=0)
     nodes = emb.select(F.col("vec_id").cast("long").alias("node"))
     return nodes.join(comp, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).cast("long").alias("component")
@@ -297,6 +304,81 @@ def _q_dedup_simhash(spark, sf_dir):
     return sig.select(F.col("doc_id").cast("long"), F.col("simhash").cast("long"))
 
 
+def _q_dedup_lsh_pairs(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+    return pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    pairs = dedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), max_distance=0.72
+    )
+    return pairs.select(F.col("a").cast("long"), F.col("b").cast("long"), "dist_micro")
+
+
+def _q_ann_lsh_signature(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return int_hyperplane_signature(emb, n_planes=8).select(
+        F.col("vec_id").cast("long"), F.col("lsh_bucket").cast("long")
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_centi"),
+        )
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Sessionization (gaps-and-islands): a >30-min silence starts a new
+    session. Window lag + running sum — one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+        # identity and unix_micros matches DuckDB's epoch_us exactly
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(w)) > 1800 * 1_000_000, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy(
+        F.col("user_id").cast("long").alias("user_id"), "session_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    with_bin = multimodal.attach_binary_payload(docs)
+    decoded = multimodal.decode_image_meta(with_bin)
+    return decoded.select(
+        F.col("doc_id").cast("long"),
+        F.col("img.n_bytes").alias("n_bytes"),
+        F.col("img.width").alias("width"),
+        F.col("img.height").alias("height"),
+        F.col("img.fmt").alias("fmt"),
+    )
+
+
 def _q_text_profile(spark, sf_dir):
     return textstats.profile(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long"),
@@ -351,6 +433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_lsh_signature": _q_ann_lsh_signature,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "multimodal_meta": _q_multimodal_meta,
         "text_profile": _q_text_profile,
         "lang_distribution": _q_lang_distribution,
         "p1_passthrough": _q_p1_passthrough,
@@ -498,6 +586,61 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": (
             f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             f"CAST({simhash_sql_duckdb(words, 16)} AS BIGINT) AS simhash FROM documents"
+        ),
+        "dedup_lsh_pairs": (
+            f"{shingle_cte}, sig AS (SELECT CAST(doc_id AS BIGINT) AS did, "
+            + ", ".join(minhash_sql_duckdb("sh", 8))
+            + " FROM d), banded AS ("
+            + " UNION ALL ".join(
+                f"SELECT did, {b} AS band, "
+                f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_sig "
+                f"FROM sig WHERE mh{2*b} IS NOT NULL AND mh{2*b+1} IS NOT NULL"
+                for b in range(4)
+            )
+            + ") SELECT DISTINCT l.did AS a, r.did AS b FROM banded l "
+            "JOIN banded r ON l.band = r.band AND l.band_sig = r.band_sig "
+            "AND l.did < r.did"
+        ),
+        "dedup_embedding": (
+            "SELECT a, b, dist_micro FROM ("
+            "SELECT CAST(l.vec_id AS BIGINT) AS a, CAST(r.vec_id AS BIGINT) AS b, "
+            "CAST(floor(("
+            + cosine_distance_sql_duckdb("l.embedding", "r.embedding")
+            + ") * 1000000) AS BIGINT) AS dist_micro "
+            "FROM embeddings l JOIN embeddings r "
+            "ON l.label = r.label AND l.vec_id < r.vec_id) "
+            "WHERE dist_micro < 720000"
+        ),
+        "ann_lsh_signature": (
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST({int_hyperplane_signature_sql_duckdb(8)} AS BIGINT) AS lsh_bucket "
+            "FROM embeddings"
+        ),
+        "events_hourly": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+            "event_type, count(*) AS n, "
+            "sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_centi "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events), "
+            "g AS (SELECT user_id, ts_us, event_id, "
+            "CASE WHEN ts_us - lag(ts_us) OVER "
+            "(PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM e), "
+            "s AS (SELECT user_id, ts_us, "
+            "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, session_id, "
+            "count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us "
+            "FROM s GROUP BY 1, 2"
+        ),
+        "multimodal_meta": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "CAST(octet_length(encode(text)) % 512 + 32 AS INTEGER) AS width, "
+            "CAST((octet_length(encode(text)) * 31) % 512 + 32 AS INTEGER) AS height, "
+            "'raw' AS fmt FROM documents"
         ),
         "text_profile": (
             f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "

@@ -116,23 +116,46 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     min_jaccard_micro: int = 0,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for every pair *within a block* (blocking
-    bounds the quadratic term; at web scale blocks come from LSH buckets).
-    Integer output: (a, b, inter, uni, jac_micro = 1e6·inter // uni)."""
+    """Exact shingle-set Jaccard for every overlapping pair *within a block*.
+
+    Scale shape: explode docs to (id, shingle) rows, equi-join on the
+    shingle (within the block), count matches per pair — the shuffle key is
+    the shingle, so no doc pair is ever formed unless it shares at least
+    one shingle, and no shingle ARRAY is carried into a quadratic join
+    (the naive pair-join materializes every array 2·|block| times and
+    dies at web scale; this one moves each (id, shingle) row once).
+    |A∪B| is reconstructed as |A|+|B|−inter from per-doc set sizes.
+
+    Integer output: (a, b, inter, uni, jac_micro = floor(1e6·inter/uni)).
+    Pairs with zero overlap are (correctly) absent — callers filter on a
+    positive jaccard anyway. Requires min_jaccard_micro > 0.
+    """
+    assert min_jaccard_micro > 0, "zero-overlap pairs are not enumerated"
     d = with_words(docs, text_col).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(shingles("__w", shingle_n)).alias("sh"),
     )
-    l, r = d.alias("l"), d.alias("r")
-    cond = (F.col("l.id") < F.col("r.id"))
+    tok = d.select(
+        "id", *block_cols, F.explode("sh").alias("s"), F.size("sh").alias("n_sh")
+    )
+    l, r = tok.alias("l"), tok.alias("r")
+    cond = (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id"))
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    pairs = l.join(r, cond).select(
-        F.col("l.id").alias("a"),
-        F.col("r.id").alias("b"),
-        F.size(F.array_intersect("l.sh", "r.sh")).cast("long").alias("inter"),
-        F.size(F.array_union("l.sh", "r.sh")).cast("long").alias("uni"),
+    pairs = (
+        l.join(r, cond)
+        .groupBy(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+        .select(
+            "a", "b", "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).cast("long").alias("uni"),
+        )
     )
     # floor() on both sides (Spark cast truncates, DuckDB cast rounds —
     # floor is the portable integerization)

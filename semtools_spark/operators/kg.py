@@ -69,8 +69,12 @@ def extract_triples(
     Whole plan is scan → project → explode → filter: map-only, no shuffle;
     Catalyst prunes the scan to (id, text).
     """
-    w = "__words"
-    cand = (
+    w, ir, ie = "__words", "__isrel", "__isent"
+    rel_list, ent_list = _sql_list(relations), _sql_list(entities)
+    # Membership is evaluated once per WORD (n checks), not once per window
+    # (3(n-2) checks), and the (pos, subj, pred, obj) struct — the expensive
+    # string-copying step — is built only for the ~1% of windows that match.
+    return (
         docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
         .select(
             F.col(id_col).alias("doc"),
@@ -78,20 +82,24 @@ def extract_triples(
         )
         .select(
             "doc",
+            F.col(w),
+            F.expr(f"transform({w}, x -> x IN ({rel_list}))").alias(ir),
+            F.expr(f"transform({w}, x -> x IN ({ent_list}))").alias(ie),
+        )
+        .select(
+            "doc",
             F.explode(
                 F.expr(
-                    f"CASE WHEN size({w}) < 3 THEN array() "
-                    f"ELSE transform(sequence(0, size({w}) - 3), i -> "
-                    f"struct(i AS pos, {w}[i] AS subj, {w}[i+1] AS pred, {w}[i+2] AS obj)) END"
+                    f"CASE WHEN size({w}) < 3 THEN array() ELSE "
+                    f"transform("
+                    f"  filter(sequence(0, size({w}) - 3),"
+                    f"         i -> {ir}[i+1] AND {ie}[i] AND {ie}[i+2]),"
+                    f"  i -> struct(i AS pos, {w}[i] AS subj,"
+                    f"              {w}[i+1] AS pred, {w}[i+2] AS obj)) END"
                 )
             ).alias("t"),
         )
         .select("doc", "t.pos", "t.subj", "t.pred", "t.obj")
-    )
-    return cand.filter(
-        F.col("pred").isin(list(relations))
-        & F.col("subj").isin(list(entities))
-        & F.col("obj").isin(list(entities))
     )
 
 
@@ -206,8 +214,17 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 30,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
+
+    Adaptive execution (the AQE philosophy applied to the iterative loop):
+    if the edge relation is small enough to count cheaply and fits the
+    driver (< ``small_graph_threshold`` rows), run a single-pass
+    union-find on the driver — an O(E α(E)) scan beats ~log(n) rounds of
+    distributed joins whose per-round scheduling cost dwarfs the work.
+    Pass ``small_graph_threshold=0`` to force the distributed path (tests
+    do, and any caller whose edge set is known to be huge).
 
     Alternating large-star / small-star (Kiveris et al., MapReduce CC):
     converges in O(log n) rounds even on long chains (label propagation
@@ -228,10 +245,23 @@ def connected_components(
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     e = e.localCheckpoint(eager=True)
 
+    if small_graph_threshold > 0:
+        n_edges = e.count()
+        if n_edges <= small_graph_threshold:
+            return _driver_union_find(e)
+
     def _min_nbr(df: DataFrame) -> DataFrame:
         # m(u) = min(Γ(u) ∪ {u}) — partial-aggregated map-side
         return df.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
+    def _sig(df: DataFrame):
+        # convergence probe: edge multiset (count, checksum) fingerprint
+        return df.agg(
+            F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
+        ).first()
+
+    prev = e
+    prev_sig = _sig(e)
     for _ in range(max_iterations):
         # Large-star: for v ∈ Γ(u) with v > u: connect v → m(u)
         m = _min_nbr(e)
@@ -258,22 +288,49 @@ def connected_components(
         new_e = small.union(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
+        # one lineage-cutting checkpoint per round (the round's only
+        # materialization; on a cluster this is the per-round resume write)
         new_e = new_e.localCheckpoint(eager=True)
-
-        # convergence: edge multiset fixed (cheap count+checksum probe)
-        old_sig = e.agg(
-            F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
-        ).first()
-        new_sig = new_e.agg(
-            F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
-        ).first()
-        e = new_e
-        if (old_sig.c, old_sig.s) == (new_sig.c, new_sig.s):
+        new_sig = _sig(new_e)
+        prev.unpersist()
+        prev, e = new_e, new_e
+        if (prev_sig.c, prev_sig.s) == (new_sig.c, new_sig.s):
             break
+        prev_sig = new_sig
 
     # after convergence every node points at its component min
     comp = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
     return comp.select(F.col("u").alias("node"), "component")
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph CC: collect edges, path-compressed union-find, return
+    (node, component) as a DataFrame. Same output contract as the
+    distributed path (component = min node id)."""
+    spark = e.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in e.toLocalIterator():
+        ra, rb = find(row.u), find(row.v)
+        if ra != rb:
+            # union by min so the root IS the component id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("node", T.LongType(), False),
+            T.StructField("component", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def canonicalize_mentions(

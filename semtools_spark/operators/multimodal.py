@@ -1,0 +1,122 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata — the training-data-pipeline extension for non-text payloads.
+
+The Spark-side plumbing is real and tested: schemas, Arrow-batched UDF
+signatures (``mapInPandas`` over binary columns), partition behavior, and
+the explode pattern for frame sampling. The *codec* step is stubbed: the
+sandbox ships no image/audio libraries, so ``decode_image_meta`` tries
+PIL and otherwise derives deterministic fake dimensions from the byte
+content (clearly marked below). Swapping in a real decoder changes ONE
+inner function, none of the Spark plumbing.
+
+Scale notes: binary payloads ride the same partitions as their keys (no
+shuffle introduced here); metadata extraction is map-only; frame sampling
+is a controlled explode whose fan-out factor is explicit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+try:  # pragma: no cover - PIL not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+
+def _decode_one(b: bytes) -> tuple[int, int, int, str]:
+    """STUB DECODER. With PIL installed this opens the image; without it
+    (this container) it derives deterministic fake dimensions from the
+    byte length — the Spark plumbing around it is identical either way."""
+    n = len(b)
+    if _HAVE_PIL:  # pragma: no cover
+        import io
+
+        try:
+            with Image.open(io.BytesIO(b)) as im:
+                return n, im.width, im.height, (im.format or "raw").lower()
+        except Exception:
+            pass
+    fmt = "png" if b[:4] == b"\x89PNG" else "raw"
+    return n, (n % 512) + 32, ((n * 31) % 512) + 32, fmt
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", out_col: str = "media"
+) -> DataFrame:
+    """Deterministic binary payload column for testing the multimodal path
+    (stands in for a real image/audio blob; utf-8 bytes of the text)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_image_meta(
+    df: DataFrame, binary_col: str = "media", out_col: str = "img"
+) -> DataFrame:
+    """binary → struct(n_bytes, width, height, fmt) via an Arrow-batched
+    pandas UDF (no per-row Spark Python)."""
+
+    @F.pandas_udf(IMAGE_META_SCHEMA)
+    def _meta(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in batches:
+            rows = [_decode_one(bytes(b) if b is not None else b"") for b in s]
+            yield pd.DataFrame(
+                rows, columns=["n_bytes", "width", "height", "fmt"]
+            ).astype(
+                {"n_bytes": "int64", "width": "int32", "height": "int32"}
+            )
+
+    return df.withColumn(out_col, _meta(F.col(binary_col)))
+
+
+def frame_sample(
+    df: DataFrame,
+    binary_col: str = "media",
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """'Video' frame sampling: slice the payload into fixed-size frames and
+    keep every n-th — a mapInPandas with an explicit, bounded fan-out
+    (the real-codec version swaps the slicer for a keyframe extractor).
+    Returns (*id_cols, frame_no, frame: binary)."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {c: [] for c in list(id_cols) + ["frame_no", "frame"]}
+            for _, row in b.iterrows():
+                payload = bytes(row[binary_col] or b"")
+                n_frames = len(payload) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    for c in id_cols:
+                        out[c].append(row[c])
+                    out["frame_no"].append(k)
+                    out["frame"].append(
+                        payload[k * frame_bytes:(k + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame(out)
+
+    cols = list(id_cols) + [binary_col]
+    return df.select(*cols).mapInPandas(_frames, schema=out_schema)

@@ -106,6 +106,50 @@ def hyperplane_signature(
     return out.withColumn("lsh_bucket", sig)
 
 
+def int_hyperplane_signature(
+    emb: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH with INTEGER arithmetic: embedding components
+    are floor()ed to micro-units and the hyperplanes are deterministic ±1
+    weights (Knuth-hash parity of (i, j)), so the signature is bit-identical
+    across engines — float sign-flips near zero can't diverge. ±1
+    hyperplanes are a standard SimHash-style choice; angles are preserved
+    in expectation just like Gaussian planes.
+
+    Map-only, whole-stage-codegen JVM expressions; the bucket column is the
+    shuffle key for the candidate join at scale."""
+    sig = None
+    for j in range(n_planes):
+        dot = F.expr(
+            f"aggregate(transform(sequence(0, size({vec_col}) - 1), "
+            f"i -> CAST(floor(CAST({vec_col}[i] AS DOUBLE) * 1000000) AS BIGINT) "
+            f"* (CASE WHEN pmod(i * 2654435761 + {j} * 40503, 2) = 0 "
+            f"THEN 1 ELSE -1 END)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sig = term if sig is None else (sig + term)
+    return emb.withColumn(out_col, sig)
+
+
+def int_hyperplane_signature_sql_duckdb(
+    n_planes: int = 8, vec_col: str = "embedding"
+) -> str:
+    """DuckDB rendering of int_hyperplane_signature (1-based list index)."""
+    terms = []
+    for j in range(n_planes):
+        dot = (
+            f"list_sum(list_transform(range(0, len({vec_col})), "
+            f"i -> CAST(floor(CAST({vec_col}[i + 1] AS DOUBLE) * 1000000) AS BIGINT) "
+            f"* (CASE WHEN (i * 2654435761 + {j} * 40503) % 2 = 0 "
+            f"THEN 1 ELSE -1 END)))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_bucket_ann(
     emb: DataFrame,
     k: int = 1,

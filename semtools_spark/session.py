@@ -27,6 +27,14 @@ def get_spark(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+
+    # One BLAS/OMP thread per Python worker: N workers each spawning
+    # cpu_count() BLAS threads oversubscribes the box N-fold and destroys
+    # pandas-UDF scaling (parallelism comes from Spark tasks, not BLAS).
+    # Inherited by pyspark worker daemons forked under this process.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         # cores, not Spark's default 200: right-sizes local shuffles; a real
         # cluster overrides via --conf (AQE coalesces down when over-provisioned)

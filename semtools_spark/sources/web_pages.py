@@ -84,9 +84,18 @@ def render_html(text: str, title: str, domain: str) -> bytes:
     ).format(t=_escape(title), b=body, d=domain).encode("utf-8")
 
 
-def make_page(i: int, seed: int = DEFAULT_SEED) -> dict:
+def make_page(
+    i: int,
+    seed: int = DEFAULT_SEED,
+    max_paras: int = 4,
+    max_extra_words: int = 33,
+) -> dict:
     """Pure page function — the single source of truth shared by the Spark
-    generator, the fixture tool, and the tests."""
+    generator, the fixture tool, and the tests.
+
+    ``max_paras``/``max_extra_words`` size the page (defaults match the
+    committed fixtures; the scaling bench uses heavier pages ~500 words,
+    the realistic Common-Crawl page weight)."""
     rng = np.random.Generator(np.random.Philox(key=[seed, i]))
     r_dom = rng.random()
     if r_dom < HEAD_DOMAIN_SHARE:
@@ -102,10 +111,10 @@ def make_page(i: int, seed: int = DEFAULT_SEED) -> dict:
     if i % 97 == 0:
         text = ""
     else:
-        n_paras = 1 + int(rng.integers(0, 4))
+        n_paras = 1 + int(rng.integers(0, max_paras))
         paras = []
         for _ in range(n_paras):
-            n_words = 8 + int(rng.integers(0, 33))
+            n_words = 8 + int(rng.integers(0, max_extra_words))
             words = rng.choice(VOCAB, size=n_words)
             paras.append(" ".join(words))
         text = "\n\n".join(paras)
@@ -122,23 +131,39 @@ def generate_web_pages(
     n_pages: int,
     seed: int = DEFAULT_SEED,
     num_partitions: int | None = None,
+    max_paras: int = 4,
+    max_extra_words: int = 33,
 ) -> DataFrame:
-    """Distributed deterministic corpus: ``spark.range → mapInPandas``."""
+    """Distributed deterministic corpus: ``spark.range → mapInPandas``.
+
+    Default partitioning is 4× parallelism so downstream scans get several
+    task waves per core (one-file-per-core gives the slowest task the wall
+    clock; finer grain load-balances and scales past one wave)."""
     if num_partitions is None:
-        num_partitions = max(4, spark.sparkContext.defaultParallelism)
+        num_partitions = max(16, 4 * spark.sparkContext.defaultParallelism)
     ids = spark.range(0, n_pages, numPartitions=num_partitions)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [make_page(int(i), seed) for i in b["id"]]
+            rows = [
+                make_page(int(i), seed, max_paras, max_extra_words)
+                for i in b["id"]
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in SCHEMA.fields])
 
     return ids.mapInPandas(_gen, schema=SCHEMA)
 
 
 def write_web_pages(
-    spark: SparkSession, path: str, n_pages: int, seed: int = DEFAULT_SEED
+    spark: SparkSession,
+    path: str,
+    n_pages: int,
+    seed: int = DEFAULT_SEED,
+    max_paras: int = 4,
+    max_extra_words: int = 33,
 ) -> str:
     """Materialize the corpus as parquet (the Iceberg stand-in locally)."""
-    generate_web_pages(spark, n_pages, seed).write.mode("overwrite").parquet(path)
+    generate_web_pages(
+        spark, n_pages, seed, max_paras=max_paras, max_extra_words=max_extra_words
+    ).write.mode("overwrite").parquet(path)
     return path

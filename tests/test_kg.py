@@ -37,10 +37,18 @@ def _uf_components(n_nodes, edges):
 
 def _check_cc(spark, edges, n_nodes):
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r.node: r.component for r in kg.connected_components(df).collect()}
     want = _uf_components(n_nodes, edges)
     touched = {u for e in edges for u in e}
-    assert got == {x: want[x] for x in touched}
+    # both execution paths must agree with the oracle: the distributed
+    # large-star/small-star loop (forced) and the adaptive driver path
+    for threshold in (0, 200_000):
+        got = {
+            r.node: r.component
+            for r in kg.connected_components(
+                df, small_graph_threshold=threshold
+            ).collect()
+        }
+        assert got == {x: want[x] for x in touched}, f"threshold={threshold}"
 
 
 def test_cc_long_chain(spark):

