@@ -1,17 +1,27 @@
 #!/usr/bin/env python
-"""Two-parallelism scaling benchmark — the sandbox proxy for the north
-rule's "N vs 4N executors, scaling efficiency ≥ 0.8" criterion.
+"""N-vs-4N-cores scaling benchmark — the sandbox evidence for the north
+rule's "scaling efficiency ≥ 0.8 from N to 4N executors" criterion.
 
 Runs the IDENTICAL end-to-end web-KG pipeline (parse → triples → link →
-canon → graph) on the IDENTICAL generated corpus at local[N_LO] and
-local[N_HI] (default 8 and 32), each in a fresh subprocess (own JVM, own
-SparkSession — no warm-cache bleed between levels). Reports:
+canon → graph) on the IDENTICAL generated corpus at two parallelism
+levels, each in a fresh subprocess PINNED to its core budget with
+``taskset`` (without pinning, the low level's Python workers overflow
+onto the idle cores and inflate the baseline — the unpinned "8-core" run
+actually consumes ~16 CPUs). Reports triples/sec at each level,
+speedup = T_N / T_4N, and efficiency = speedup / (hi/lo).
 
-    triples/sec at each level, speedup = T_lo / T_hi,
-    efficiency  = speedup / (N_HI / N_LO)
+It ALSO measures this machine's hardware scaling ceilings with bare
+multiprocessing (no Spark, no JVM): a pure-ALU loop and the exact
+HashEmbedder computation. On this box real (allocation/memory-touching)
+work caps well below 1.0 — shared memory bandwidth in the virtualized
+host — so the report includes ``efficiency_vs_hw_ceiling``: pipeline
+efficiency normalized by what the SAME computation achieves as bare
+pinned processes. On a real N→4N-machine cluster per-core memory
+bandwidth is constant and this ceiling does not apply.
 
 Usage: python tools/bench_scaling.py [n_pages] [--lo 8] [--hi 32]
-Writes BENCH_SCALING.json at the repo root and prints one JSON line.
+       [--trials 3] [--max-paras 24]
+Writes BENCH_SCALING.json at the repo root.
 """
 
 from __future__ import annotations
@@ -33,13 +43,15 @@ from semtools_spark.session import get_spark
 from semtools_spark.pipeline import run_webkg_pipeline
 
 cpus = {cpus}
-spark = get_spark("bench_scaling", cpus=cpus, shuffle_partitions=cpus)
+spark = get_spark("bench_scaling", cpus=cpus, shuffle_partitions=cpus,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "8m"}})
 
 # Warmup: run the IDENTICAL pipeline on a small slice of the corpus first.
-# This spawns the Python-worker pool and JIT-compiles every stage's plan,
-# so the timed run measures steady-state throughput — the quantity the
-# scaling-efficiency rule is about (a real cluster's workers are long-lived;
-# cold-start cost is a constant, not a per-byte cost).
+# This registers executors, spawns their Python-worker pools, and
+# JIT-compiles every stage's plan, so the timed run measures steady-state
+# throughput — the quantity the scaling-efficiency rule is about (a real
+# cluster's executors are long-lived; cold-start is a constant, not a
+# per-byte cost).
 warm_out = {out!r} + ".warm"
 run_webkg_pipeline(spark, {warm_pages!r}, warm_out, dim=64, seed=42)
 shutil.rmtree(warm_out, ignore_errors=True)
@@ -53,7 +65,8 @@ report = run_webkg_pipeline(spark, {pages!r}, {out!r}, dim=64, seed=42)
 wall = time.time() - t0
 triples = spark.read.parquet(report["paths"]["triples"]).count()
 print("RESULT " + json.dumps({{
-    "cpus": cpus, "wall_s": round(wall, 3), "triples": triples,
+    "cpus": cpus,
+    "wall_s": round(wall, 3), "triples": triples,
     "stage_wall": {{k: v.get("wall_s") for k, v in report["stages"].items()}},
 }}))
 spark.stop()
@@ -68,24 +81,79 @@ def run_level(cpus: int, pages_path: str, warm_path: str, trial: int) -> dict:
     code = RUN_SNIPPET.format(
         repo=REPO, cpus=cpus, pages=pages_path, warm_pages=warm_path, out=out
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
-    )
+    # taskset pins JVM + Python workers to the level's core budget — the
+    # honest simulation of "this many cores of hardware"
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             res = json.loads(line[len("RESULT "):])
             shutil.rmtree(out, ignore_errors=True)
             return res
     raise RuntimeError(
-        f"level local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        f"level cpus={cpus} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
     )
+
+
+HW_SNIPPET = r"""
+import multiprocessing as mp, sys, time
+sys.path.insert(0, {repo!r})
+
+def alu(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+def embed(seed):
+    from semtools_spark.embedding import HashEmbedder
+    emb = HashEmbedder(dim=64)
+    texts = ["graph join vector window table %d scan merge" % (i % 997)
+             for i in range(20000)]
+    emb.embed_texts(texts)
+    return 0
+
+if __name__ == "__main__":
+    procs = {procs}
+    for name, fn, arg in (("alu", alu, 2000000), ("embed", embed, 0)):
+        with mp.Pool(procs) as p:
+            p.map(fn, [arg] * procs)  # warm imports/pools
+            t0 = time.time()
+            p.map(fn, [arg] * procs * 4)
+            wall = time.time() - t0
+        print("HW %s %d %.3f" % (name, procs, wall))
+"""
+
+
+def hw_ceiling(lo: int, hi: int) -> dict:
+    """Bare-multiprocessing scaling of (a) a pure-ALU loop and (b) the
+    exact embed computation, taskset-pinned — the machine's achievable
+    ceiling for Spark-free parallel work."""
+    walls: dict[tuple[str, int], float] = {}
+    for procs in (lo, hi):
+        code = HW_SNIPPET.format(repo=REPO, procs=procs)
+        cmd = ["taskset", "-c", f"0-{procs - 1}", sys.executable, "-c", code]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        for line in out.stdout.splitlines():
+            if line.startswith("HW "):
+                _, name, p, wall = line.split()
+                walls[(name, int(p))] = float(wall)
+    res = {}
+    for name in ("alu", "embed"):
+        # work per proc is fixed, total work ∝ procs → scaling efficiency
+        # reduces to the wall ratio
+        res[name] = {
+            "wall_lo": walls[(name, lo)], "wall_hi": walls[(name, hi)],
+            "efficiency": round(walls[(name, lo)] / walls[(name, hi)], 3),
+        }
+    return res
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("n_pages", nargs="?", type=int, default=400_000)
-    ap.add_argument("--lo", type=int, default=8)
-    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("n_pages", nargs="?", type=int, default=1_000_000)
+    ap.add_argument("--lo", type=int, default=8, help="N cores (pinned)")
+    ap.add_argument("--hi", type=int, default=32, help="4N cores (pinned)")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument(
         "--max-paras", type=int, default=24,
@@ -122,9 +190,15 @@ def main():
         best["triples_per_sec"] = round(best["triples"] / best["wall_s"], 1)
         levels[str(cpus)] = best
 
+    hw = hw_ceiling(args.lo, args.hi)
+
     lo, hi = levels[str(args.lo)], levels[str(args.hi)]
+    ratio = args.hi / args.lo
     speedup = lo["wall_s"] / hi["wall_s"]
-    efficiency = speedup / (args.hi / args.lo)
+    efficiency = speedup / ratio
+    # the embed ceiling is the fairest same-computation yardstick: bare
+    # pinned processes doing this engine's own hot-path computation
+    ceiling = hw["embed"]["efficiency"]
     out = {
         "metric": "webkg_scaling_efficiency",
         "value": round(efficiency, 3),
@@ -132,9 +206,14 @@ def main():
         "n_pages": args.n_pages,
         "speedup": round(speedup, 3),
         "levels": levels,
+        "hw_ceiling": hw,
+        "efficiency_vs_hw_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
         "note": (
-            f"identical pipeline + corpus at local[{args.lo}] vs "
-            f"local[{args.hi}]; efficiency = speedup / {args.hi // args.lo}"
+            f"identical pipeline + corpus, taskset-pinned local[{args.lo}] vs "
+            f"local[{args.hi}]; efficiency = speedup / {ratio:g}. hw_ceiling = "
+            "bare-multiprocessing scaling of a pure-ALU loop and this engine's "
+            "own embed computation on the same pinned cores (no Spark) — the "
+            "machine's achievable ceiling; see BASELINE.md"
         ),
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
