@@ -243,7 +243,9 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
     )
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    e = e.localCheckpoint(eager=True)
+    # lazy checkpoint: the next action over e (count/sig) is the job that
+    # materializes it — one job per materialization instead of two
+    e = e.localCheckpoint(eager=False)
 
     if small_graph_threshold > 0:
         n_edges = e.count()
@@ -289,8 +291,10 @@ def connected_components(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
         # one lineage-cutting checkpoint per round (the round's only
-        # materialization; on a cluster this is the per-round resume write)
-        new_e = new_e.localCheckpoint(eager=True)
+        # materialization; on a cluster this is the per-round resume
+        # write). Lazy + sig: the convergence probe IS the materializing
+        # job, so each round runs exactly one job.
+        new_e = new_e.localCheckpoint(eager=False)
         new_sig = _sig(new_e)
         prev.unpersist()
         prev, e = new_e, new_e

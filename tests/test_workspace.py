@@ -1,0 +1,106 @@
+"""Workspace (W1-W9) — mirrors the reference's store test suite
+(src/workspace/store.rs:717-1375): empty stats, sync+counts, idempotent
+MERGE, incremental states incl. version bump, filtered search with
+threshold, cascade delete, prune anti-join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semtools_spark.operators import workspace as W
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma\nsecond line here", 100),
+        (2, "delta epsilon zeta", 100),
+        (3, "eta theta iota kappa", 100),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, mtime long")
+
+
+def test_empty_stats(spark, tmp_path):
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
+    assert ws.stats() == {
+        "total_documents": 0, "total_lines": 0, "dim": 16,
+        "index_type": "exact-cosine",
+    }
+
+
+def test_sync_counts_and_lines(spark, tmp_path, docs):
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
+    counts = ws.sync(docs, mtime_col="mtime")
+    assert counts == {"new": 3}
+    st = ws.stats()
+    assert st["total_documents"] == 3
+    assert st["total_lines"] == 4  # doc 1 has two lines
+    # resync with no changes: everything unchanged, tables untouched
+    counts2 = ws.sync(docs, mtime_col="mtime")
+    assert counts2 == {"unchanged": 3}
+    assert ws.stats()["total_lines"] == 4
+
+
+def test_sync_idempotent_merge_on_change(spark, tmp_path, docs):
+    """Reference upsert idempotency via deterministic ids
+    (store.rs:950-1000): re-embedding a changed doc REPLACES its lines."""
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
+    ws.sync(docs, mtime_col="mtime")
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 2, F.lit("delta epsilon zeta CHANGED NOW"))
+        .otherwise(F.col("text")),
+    )
+    counts = ws.sync(changed, mtime_col="mtime")
+    assert counts.get("changed") == 1 and counts.get("unchanged") == 2
+    lines2 = ws.lines().filter(F.col("doc") == 2).collect()
+    assert len(lines2) == 1
+    assert lines2[0].line == "delta epsilon zeta CHANGED NOW"
+
+
+def test_version_bump_forces_reembed(spark, tmp_path, docs):
+    """store.rs:1217-1260: stored _version < CURRENT ⇒ Changed."""
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
+    ws.sync(docs, mtime_col="mtime")
+    stale = ws.manifest().withColumn("_version", F.lit(0))
+    W._atomic_overwrite(stale, ws.manifest_path)
+    meta = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.length("text").cast("long").alias("size_bytes"),
+        F.col("mtime").cast("long").alias("mtime"),
+    )
+    states = {
+        r.doc: r.state
+        for r in W.classify_states(meta, ws.manifest(), key="doc").collect()
+    }
+    assert set(states.values()) == {W.STATE_CHANGED}
+
+
+def test_search_threshold_and_subset(spark, tmp_path, docs):
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
+    ws.sync(docs, mtime_col="mtime")
+    hit = ws.search("alpha beta gamma", top_k=1).first()
+    assert (hit.doc, hit.line_no) == (1, 0)
+    # threshold mode returns all under it, ignoring top_k (S9 semantics)
+    all_rows = ws.search("alpha beta gamma", top_k=1, max_distance=2.0).collect()
+    assert len(all_rows) == ws.stats()["total_lines"]
+    # doc-subset filter (W5's pushed path filter)
+    sub = ws.search("alpha beta gamma", top_k=10, doc_subset=[2, 3]).collect()
+    assert {r.doc for r in sub} <= {2, 3}
+
+
+def test_cascade_delete_and_prune(spark, tmp_path, docs):
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
+    ws.sync(docs, mtime_col="mtime")
+    deleted = ws.delete([1])
+    assert deleted == {"docs": 1, "lines": 2}
+    assert ws.lines().filter(F.col("doc") == 1).count() == 0
+    # prune: source now only contains doc 2 → doc 3 is stale
+    remaining = docs.filter(F.col("doc_id") == 2)
+    pruned = ws.prune(remaining)
+    assert pruned == {"docs": 1, "lines": 1}
+    assert ws.stats() == {
+        "total_documents": 1, "total_lines": 1, "dim": 16,
+        "index_type": "exact-cosine",
+    }
