@@ -275,6 +275,57 @@ def _q_q3_top_orders(spark, sf_dir):
     )
 
 
+def _q_q5_local_suppliers(spark, sf_dir):
+    """TPC-H Q5 shape: six-table join chain with a broadcast dimension
+    spine (region→nation) and integer revenue units."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (F.floor(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.floor(F.col("l_discount") * 100).cast("long")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+    )
+
+
+def _q_w9_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("total_documents"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
+def _q_search_topk(spark, sf_dir):
+    """Flagship S1-S9 semantic line search (embedding UDF → no SQL oracle;
+    the driver records the weaker rows-only check; full semantics are
+    pinned by tests/test_search.py)."""
+    from semtools_spark.operators.search import search
+
+    docs = _t(spark, sf_dir, "documents")
+    res = search(docs, QUERY_TEXT, top_k=5, n_lines=1)
+    return res.select(
+        F.col("doc").cast("long"), F.col("start"), F.col("end"),
+        F.col("match_line"),
+        F.floor(F.col("distance") * 1000000).cast("long").alias("dist_micro"),
+        "content",
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents")).select(
         "text_hash", "n_copies", F.col("keep_id").cast("long")
@@ -429,6 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_anti_join": _q_w8_anti_join,
         "q1_pricing": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
+        "q5_local_suppliers": _q_q5_local_suppliers,
+        "w9_counts": _q_w9_counts,
+        "s5_search_topk": _q_search_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -561,6 +615,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
             "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
             "GROUP BY l_orderkey ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "q5_local_suppliers": (
+            "SELECT n_name, sum("
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount * 100) AS BIGINT))"
+            ") AS revenue_e4 FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+            "GROUP BY n_name"
+        ),
+        "w9_counts": (
+            "SELECT count(*) AS total_documents, "
+            "count(DISTINCT lang) AS n_langs, "
+            "sum(CAST(n_chars AS BIGINT)) AS total_chars FROM documents"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS n_copies, "
