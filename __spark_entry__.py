@@ -224,8 +224,11 @@ def _q_w2_semi_join(spark, sf_dir):
 
 
 def _q_w8_anti_join(spark, sf_dir):
+    """W8 prune anti-join. The orders side is restricted (o_orderkey % 3)
+    so the result is non-empty at sf0.01 — a full anti-join was vacuously
+    green on the empty set (VERDICT r1 'What's wrong' #3)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select(F.col("c_custkey").cast("long"), "c_name")
@@ -561,9 +564,9 @@ def oracle_sql() -> dict[str, str]:
         "s7_ctx_window": (
             "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
             "CAST(l_linenumber AS INTEGER) AS l_linenumber, "
-            "sum(CAST(l_quantity AS BIGINT)) OVER ("
+            "CAST(sum(CAST(l_quantity AS BIGINT)) OVER ("
             "PARTITION BY l_orderkey ORDER BY CAST(l_linenumber AS INTEGER) "
-            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ctx_qty FROM lineitem"
+            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS ctx_qty FROM lineitem"
         ),
         "s8_sort_limit": (
             "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
@@ -592,24 +595,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "w8_anti_join": (
             "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer "
-            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_orderkey % 3 = 0)"
         ),
         "q1_pricing": (
+            # every SUM is CAST back to BIGINT: DuckDB sum(BIGINT) surfaces as
+            # decimal128(38,0) in Arrow, which the driver's value-hash treats
+            # as a different value representation than Spark's bigint
             "SELECT l_returnflag, l_linestatus, "
-            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-            "sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_centi, "
-            "sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS sum_disc_e4, "
-            "sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT)) "
-            "* (100 + CAST(floor(l_tax * 100) AS BIGINT))) AS sum_charge_e6, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_centi, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT)) "
+            "* (100 + CAST(floor(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6, "
             "count(*) AS count_order, "
             "CAST(floor(sum(CAST(l_quantity AS BIGINT)) * 1000.0 / count(*)) AS BIGINT) AS avg_qty_milli "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "q3_top_orders": (
-            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, sum("
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(sum("
             "CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
-            ") AS revenue_e4 FROM lineitem "
+            ") AS BIGINT) AS revenue_e4 FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
@@ -617,10 +624,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_orderkey ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
         ),
         "q5_local_suppliers": (
-            "SELECT n_name, sum("
+            "SELECT n_name, CAST(sum("
             "CAST(floor(l_extendedprice * 100) AS BIGINT) * "
             "(100 - CAST(floor(l_discount * 100) AS BIGINT))"
-            ") AS revenue_e4 FROM lineitem "
+            ") AS BIGINT) AS revenue_e4 FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
@@ -634,7 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "w9_counts": (
             "SELECT count(*) AS total_documents, "
             "count(DISTINCT lang) AS n_langs, "
-            "sum(CAST(n_chars AS BIGINT)) AS total_chars FROM documents"
+            "CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars FROM documents"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS n_copies, "
@@ -693,7 +700,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
             "event_type, count(*) AS n, "
-            "sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_centi "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_centi "
             "FROM events GROUP BY 1, 2"
         ),
         "events_sessions": (
@@ -725,7 +732,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents"
         ),
         "lang_distribution": (
-            "SELECT lang, count(*) AS n, sum(CAST(n_chars AS BIGINT)) AS total_chars "
+            "SELECT lang, count(*) AS n, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"
         ),
         "p1_passthrough": (
