@@ -106,28 +106,41 @@ def hyperplane_signature(
     return out.withColumn("lsh_bucket", sig)
 
 
+def int_plane_weights(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """±1 hyperplane weights, Philox-seeded — computed driver-side and
+    inlined as literals in both engine renderings. A previous in-SQL
+    linear-congruence parity (``(i*C1 + j*C2) mod 2`` with odd constants)
+    degenerated to ``(i+j) mod 2`` — two effective buckets — making the
+    bucket-keyed candidate join quadratic at scale."""
+    rng = np.random.Generator(np.random.Philox(key=(seed << 8) | 0x51))
+    return (rng.integers(0, 2, size=(n_planes, dim)) * 2 - 1).astype(np.int64)
+
+
 def int_hyperplane_signature(
     emb: DataFrame,
     n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
     vec_col: str = "embedding",
     out_col: str = "lsh_bucket",
 ) -> DataFrame:
     """Random-hyperplane LSH with INTEGER arithmetic: embedding components
-    are floor()ed to micro-units and the hyperplanes are deterministic ±1
-    weights (Knuth-hash parity of (i, j)), so the signature is bit-identical
-    across engines — float sign-flips near zero can't diverge. ±1
-    hyperplanes are a standard SimHash-style choice; angles are preserved
-    in expectation just like Gaussian planes.
+    are floor()ed to micro-units and the hyperplanes are seeded ±1 weight
+    literals, so the signature is bit-identical across engines — float
+    sign-flips near zero can't diverge. ±1 hyperplanes are a standard
+    SimHash-style choice; angles are preserved in expectation just like
+    Gaussian planes.
 
     Map-only, whole-stage-codegen JVM expressions; the bucket column is the
     shuffle key for the candidate join at scale."""
+    weights = int_plane_weights(n_planes, dim, seed)
     sig = None
     for j in range(n_planes):
+        warr = ", ".join(str(int(w)) for w in weights[j])
         dot = F.expr(
-            f"aggregate(transform(sequence(0, size({vec_col}) - 1), "
-            f"i -> CAST(floor(CAST({vec_col}[i] AS DOUBLE) * 1000000) AS BIGINT) "
-            f"* (CASE WHEN pmod(i * 2654435761 + {j} * 40503, 2) = 0 "
-            f"THEN 1 ELSE -1 END)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            f"aggregate(zip_with({vec_col}, array({warr}), "
+            f"(x, w) -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * w), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
         term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
         sig = term if sig is None else (sig + term)
@@ -135,16 +148,18 @@ def int_hyperplane_signature(
 
 
 def int_hyperplane_signature_sql_duckdb(
-    n_planes: int = 8, vec_col: str = "embedding"
+    n_planes: int = 8, dim: int = 64, seed: int = 42, vec_col: str = "embedding"
 ) -> str:
-    """DuckDB rendering of int_hyperplane_signature (1-based list index)."""
+    """DuckDB rendering of int_hyperplane_signature (1-based list index),
+    inlining the same Philox-seeded ±1 weight literals."""
+    weights = int_plane_weights(n_planes, dim, seed)
     terms = []
     for j in range(n_planes):
+        wlist = "[" + ", ".join(str(int(w)) for w in weights[j]) + "]"
         dot = (
-            f"list_sum(list_transform(range(0, len({vec_col})), "
-            f"i -> CAST(floor(CAST({vec_col}[i + 1] AS DOUBLE) * 1000000) AS BIGINT) "
-            f"* (CASE WHEN (i * 2654435761 + {j} * 40503) % 2 = 0 "
-            f"THEN 1 ELSE -1 END)))"
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST(floor(CAST({vec_col}[i] AS DOUBLE) * 1000000) AS BIGINT) "
+            f"* ({wlist})[i]))"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"

@@ -22,19 +22,30 @@ def test_int_hyperplane_signature_deterministic(spark, embeddings):
 
 def test_int_signature_matches_numpy(spark, embeddings):
     """The JVM expression implements exactly: sign of sum_i floor(e_i*1e6) *
-    (+1 if (i*2654435761 + j*40503) even else -1)."""
+    w[j][i] with the Philox-seeded ±1 plane weights."""
     rows = embeddings.limit(20).select("vec_id", "embedding").collect()
     got = {r.vec_id: r.lsh_bucket for r in
            similarity.int_hyperplane_signature(embeddings.limit(20), n_planes=8).collect()}
+    weights = similarity.int_plane_weights(8, 64)
     for r in rows:
         v = np.floor(np.asarray(r.embedding, dtype=np.float64) * 1_000_000).astype(np.int64)
         sig = 0
         for j in range(8):
-            w = np.array([1 if (i * 2654435761 + j * 40503) % 2 == 0 else -1
-                          for i in range(len(v))], dtype=np.int64)
-            if int((v * w).sum()) > 0:
+            if int((v * weights[j]).sum()) > 0:
                 sig |= 1 << j
         assert got[r.vec_id] == sig
+
+
+def test_int_signature_spreads_buckets(spark):
+    """Random embeddings must spread across many of the 256 buckets — the
+    old linear-congruence parity collapsed to ~2 effective buckets, making
+    the candidate join quadratic (ADVICE r1, high)."""
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(256)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = {r.lsh_bucket for r in
+               similarity.int_hyperplane_signature(df, n_planes=8).collect()}
+    assert len(buckets) >= 64, f"only {len(buckets)} distinct buckets"
 
 
 def test_lsh_bucket_ann_subset_of_blocked_knn(spark, embeddings):
