@@ -195,6 +195,56 @@ def _q_grep(spark, sf_dir):
     )
 
 
+def _source_docs(spark, sf_dir):
+    """Multi-line documents for the grep-context gates: one 'file' per
+    source, lines = member docs' texts ordered by doc_id (testdata docs are
+    single-line, so real line windows need assembled files)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.concat_ws(
+            "\n",
+            F.expr("transform(array_sort(collect_list(struct(doc_id, text))), x -> x.text)"),
+        ).alias("text")
+    ).select(F.col("source").alias("doc_id"), "text")
+
+
+_GREP_CTX_ORACLE_CTE = (
+    "WITH d AS (SELECT source AS doc, string_agg(text, chr(10) ORDER BY doc_id) AS text "
+    "FROM documents GROUP BY source), "
+    "l AS (SELECT doc, UNNEST(string_split(text, chr(10))) AS line, "
+    "UNNEST(range(0, len(string_split(text, chr(10))))) AS line_no FROM d), "
+    "n AS (SELECT doc, count(*) AS n_lines FROM l GROUP BY doc), "
+    "m AS (SELECT doc, line_no AS match_line, line AS mline FROM l "
+    "WHERE regexp_matches(line, 'vector\\s+window')), "
+    "res AS (SELECT m.doc, CAST(greatest(m.match_line - 1, 0) AS INTEGER) AS start, "
+    "CAST(least(m.match_line + 2, n.n_lines) AS INTEGER) AS \"end\", "
+    "CAST(m.match_line AS INTEGER) AS match_line, m.mline AS line, "
+    "(SELECT string_agg(l2.line, chr(10) ORDER BY l2.line_no) FROM l l2 "
+    "WHERE l2.doc = m.doc AND l2.line_no >= m.match_line - 1 "
+    "AND l2.line_no <= m.match_line + 1) AS content "
+    "FROM m JOIN n ON m.doc = n.doc)"
+)
+
+
+def _q_grep_ctx(spark, sf_dir):
+    """A3 end-to-end: grep with ±1 clamped context windows over assembled
+    multi-line files (reference ask/tools.rs:498-553)."""
+    from semtools_spark.operators.search import grep
+
+    g = grep(_source_docs(spark, sf_dir), r"vector\s+window", n_lines=1)
+    return g.select("doc", "start", "end", "match_line", "line", "content")
+
+
+def _q_grep_chunks(spark, sf_dir):
+    """A7/O1: the grep tool's <chunk file=… start=… end=…> rendering
+    (reference ask/tools.rs:530-547) as a final string projection."""
+    from semtools_spark.formatters import format_grep_chunks
+    from semtools_spark.operators.search import grep
+
+    g = grep(_source_docs(spark, sf_dir), r"vector\s+window", n_lines=1)
+    return format_grep_chunks(g).select("doc", "match_line", "chunk")
+
+
 def _q_w1_states(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 11 != 0).select(
@@ -314,9 +364,10 @@ def _q_w9_counts(spark, sf_dir):
 
 
 def _q_search_topk(spark, sf_dir):
-    """Flagship S1-S9 semantic line search (embedding UDF → no SQL oracle;
-    the driver records the weaker rows-only check; full semantics are
-    pinned by tests/test_search.py)."""
+    """Flagship S1-S9 semantic line search. Oracled by a VALUES table
+    produced by the committed pure-Python single-node reference
+    (:func:`_flagship_search_oracle_sql`) — the same leaf HashEmbedder,
+    none of the DataFrame code paths."""
     from semtools_spark.operators.search import search
 
     docs = _t(spark, sf_dir, "documents")
@@ -326,6 +377,60 @@ def _q_search_topk(spark, sf_dir):
         F.col("match_line"),
         F.floor(F.col("distance") * 1000000).cast("long").alias("dist_micro"),
         "content",
+    )
+
+
+def _flagship_search_oracle_sql(top_k: int = 5, n_lines: int = 1) -> str:
+    """Single-node pure-Python reference run of the S1-S9 flagship search,
+    emitted as a VALUES oracle. Shares only the leaf HashEmbedder with the
+    engine (the same pattern as tools/make_fixtures.py); the line split,
+    scoring, top-k, tie-break, and context assembly are re-derived here
+    independently of any DataFrame code. Reads the corpus at oracle-build
+    time from $SPARK_GRAFT_ORACLE_SF (driver correctness runs at sf0.01)."""
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+    emb = HashEmbedder(dim=256)
+    # replicate score_udf's query normalization exactly (renormalizing an
+    # already-unit vector is not a bit-level no-op)
+    q = emb.embed_one(QUERY_TEXT)
+    qn = float(np.linalg.norm(q))
+    q = q / qn if qn > 0 else q
+
+    per_doc: dict[int, list[str]] = {}
+    entries: list[tuple[int, int]] = []
+    for doc_id, text in docs:
+        if not text:
+            continue
+        lines = text.split("\n")
+        per_doc[doc_id] = lines
+        entries.extend((doc_id, i) for i in range(len(lines)))
+    mat = emb.embed_texts([per_doc[d][i] for d, i in entries])
+    dists = 1.0 - (mat @ q).astype(np.float64)
+    top = sorted(zip(dists.tolist(), (e[0] for e in entries), (e[1] for e in entries)))[:top_k]
+
+    rows = []
+    for dist, doc, line_no in top:
+        lines = per_doc[doc]
+        start = max(0, line_no - n_lines)
+        end = min(len(lines), line_no + n_lines + 1)
+        content = "\n".join(lines[start:end]).replace("'", "''")
+        rows.append(
+            f"(CAST({doc} AS BIGINT), CAST({start} AS INTEGER), "
+            f"CAST({end} AS INTEGER), CAST({line_no} AS INTEGER), "
+            f"CAST({math.floor(dist * 1000000)} AS BIGINT), '{content}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(doc, start, "end", match_line, dist_micro, content)'
     )
 
 
@@ -478,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_ctx_window": _q_ctx_window,
         "s8_sort_limit": _q_sort_limit,
         "a3_grep": _q_grep,
+        "a3_grep_ctx": _q_grep_ctx,
+        "a7_grep_chunks": _q_grep_chunks,
         "w1_incremental_states": _q_w1_states,
         "w2_semi_join": _q_w2_semi_join,
         "w8_anti_join": _q_w8_anti_join,
@@ -578,6 +685,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_matches FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(len(regexp_extract_all(text, 'vector\\s+window')) AS BIGINT) AS n_matches "
             "FROM documents) WHERE n_matches > 0"
+        ),
+        "s5_search_topk": _flagship_search_oracle_sql(),
+        "a3_grep_ctx": (
+            f"{_GREP_CTX_ORACLE_CTE} "
+            'SELECT doc, start, "end", match_line, line, content FROM res'
+        ),
+        "a7_grep_chunks": (
+            f"{_GREP_CTX_ORACLE_CTE} "
+            "SELECT doc, match_line, "
+            "'<chunk file=' || doc || ' start=' || CAST(start AS VARCHAR) || "
+            "' end=' || CAST(\"end\" AS VARCHAR) || '>' || chr(10) || content || "
+            "chr(10) || '</chunk>' || chr(10) AS chunk FROM res"
         ),
         "w1_incremental_states": (
             "WITH incoming AS (SELECT doc_id AS doc, n_chars AS sz FROM documents WHERE doc_id % 11 <> 0), "

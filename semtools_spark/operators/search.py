@@ -79,28 +79,38 @@ def score_lines(
 
 
 def attach_context(
-    matches: DataFrame, lines: DataFrame, n_lines: int = DEFAULT_N_LINES
+    matches: DataFrame,
+    lines: DataFrame,
+    n_lines: int = DEFAULT_N_LINES,
+    payload_cols: tuple = ("distance",),
+    broadcast: bool = True,
 ) -> DataFrame:
     """S7: per match, the clamped window of surrounding lines.
 
-    Implemented as a broadcast range-join of the small match set against the
-    lines relation, then group-by-match reassembly — context is computed for
-    k matches, never for the whole corpus. Emits start (inclusive) / end
-    (exclusive) / match_line / content, clamped at document bounds.
-    """
+    Implemented as a range-join of the match set against the lines relation,
+    then group-by-match reassembly — context is computed for matches, never
+    for the whole corpus. Emits start (inclusive) / end (exclusive) /
+    match_line / content, clamped at document bounds.
+
+    ``broadcast`` must only be True when the match set is bounded (top-k
+    mode: k rows). In threshold mode the match set is unbounded — a
+    broadcast there is an OOM at scale, so the caller requests a shuffle
+    hash join on ``doc`` instead."""
     m = matches.select(
         F.col("doc").alias("m_doc"),
         F.col("line_no").alias("m_line_no"),
-        "distance",
+        *payload_cols,
     )
+    if broadcast:
+        m = F.broadcast(m)
     joined = lines.join(
-        F.broadcast(m),
+        m,
         (F.col("doc") == F.col("m_doc"))
         & (F.col("line_no") >= F.col("m_line_no") - n_lines)
         & (F.col("line_no") <= F.col("m_line_no") + n_lines),
     )
     return (
-        joined.groupBy("m_doc", "m_line_no", "distance")
+        joined.groupBy("m_doc", "m_line_no", *payload_cols)
         .agg(
             F.min("line_no").alias("start"),
             (F.max("line_no") + 1).alias("end"),
@@ -114,7 +124,7 @@ def attach_context(
             F.col("start").cast("int"),
             F.col("end").cast("int"),
             F.col("m_line_no").cast("int").alias("match_line"),
-            "distance",
+            *payload_cols,
             "content",
         )
     )
@@ -144,12 +154,18 @@ def search(
     scored = score_lines(lines, query, ignore_case=ignore_case, dim=dim, seed=seed)
 
     if max_distance is not None:
+        # threshold mode: the match set is unbounded — never broadcast it
         matches = scored.filter(F.col("distance") < F.lit(float(max_distance)))
+        bc = False
     else:
-        # TakeOrderedAndProject: partial per-partition top-k + merge
+        # TakeOrderedAndProject: partial per-partition top-k + merge;
+        # the k-row match set is safely broadcastable
         matches = scored.orderBy("distance", "doc", "line_no").limit(top_k)
+        bc = True
 
-    out = attach_context(matches.select("doc", "line_no", "distance"), lines, n_lines)
+    out = attach_context(
+        matches.select("doc", "line_no", "distance"), lines, n_lines, broadcast=bc
+    )
     return out.orderBy("distance", "doc", "match_line")
 
 
@@ -159,19 +175,77 @@ def grep(
     *,
     ignore_case: bool = False,
     literal: bool = False,
+    n_lines: int = 0,
+    skip_binary: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """A3: regex/literal line filter (ask/tools.rs:434-553). Literal
-    patterns are regex-escaped (tools.rs:465-479); case-insensitivity via
-    the (?i) inline flag (tools.rs:471)."""
+    """A3: regex/literal line grep with ±n_lines clamped context
+    (ask/tools.rs:434-553). Literal patterns are regex-escaped
+    (tools.rs:473-479); case-insensitivity via the (?i) inline flag
+    (tools.rs:465-471); documents containing a NUL byte are skipped, the
+    BinaryDetection::quit(b'\\x00') analog (tools.rs:485).
+
+    Returns (doc, start, end, match_line, line, content): one row per
+    match with its clamped [start, end) context window — the reference's
+    per-match ``<chunk>`` unit (tools.rs:530-547). The match set is
+    unbounded, so the context range-join is a shuffle join on doc, never
+    a broadcast."""
     import re as _re
 
     pat = _re.escape(pattern) if literal else pattern
     if ignore_case:
         pat = f"(?i){pat}"
+    if skip_binary:
+        docs = docs.filter(~F.contains(F.col(text_col), F.lit("\x00")))
     lines = split_lines(docs, id_col=id_col, text_col=text_col)
-    return lines.filter(F.col("line").rlike(pat)).orderBy("doc", "line_no")
+    matches = lines.filter(F.col("line").rlike(pat)).select(
+        "doc", "line_no", F.col("line").alias("match_text")
+    )
+    if n_lines == 0:
+        return matches.select(
+            "doc",
+            F.col("line_no").cast("int").alias("start"),
+            (F.col("line_no") + 1).cast("int").alias("end"),
+            F.col("line_no").cast("int").alias("match_line"),
+            F.col("match_text").alias("line"),
+            F.col("match_text").alias("content"),
+        ).orderBy("doc", "match_line")
+    out = attach_context(
+        matches, lines, n_lines, payload_cols=("match_text",), broadcast=False
+    )
+    return out.select(
+        "doc", "start", "end", "match_line",
+        F.col("match_text").alias("line"), "content",
+    ).orderBy("doc", "match_line")
+
+
+def grep_by_file(
+    docs: DataFrame,
+    pattern: str,
+    *,
+    ignore_case: bool = False,
+    literal: bool = False,
+    skip_binary: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """A3 per-file view: match lines grouped per document, mirroring the
+    reference's ``HashMap<String, Vec<GrepMatch>>`` accumulation
+    (ask/tools.rs:489-516). Returns (doc, n_matches, match_lines) where
+    match_lines is the ordered array of 0-based matching line numbers."""
+    m = grep(
+        docs, pattern, ignore_case=ignore_case, literal=literal,
+        n_lines=0, skip_binary=skip_binary, id_col=id_col, text_col=text_col,
+    )
+    return (
+        m.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.array_sort(F.collect_list("match_line")).alias("match_lines"),
+        )
+        .orderBy("doc")
+    )
 
 
 def read_range(

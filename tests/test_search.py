@@ -122,3 +122,73 @@ def test_score_plan_has_no_context_shuffle_on_corpus(spark, docs):
     scored = S.score_lines(lines, "q").orderBy("distance").limit(3)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_threshold_mode_never_broadcasts_matches(spark, docs):
+    """Threshold mode returns an unbounded match set — broadcasting it is
+    an OOM at scale (VERDICT r1 'What's wrong' #5). The context join must
+    be a shuffle join; top-k mode (k rows) keeps the broadcast."""
+    thr = S.search(docs, "spark join vector", max_distance=1.5, n_lines=1)
+    plan = thr._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    topk = S.search(docs, "spark join vector", top_k=2, n_lines=1)
+    plan_topk = topk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_topk
+
+
+def test_grep_context_clamped_like_reference(spark, docs):
+    """±N context clamped at document bounds (ask/tools.rs:535-537:
+    start = match-n floored at 0, end = min(match+n+1, len))."""
+    rows = S.grep(docs, "spark join", n_lines=2).orderBy("doc").collect()
+    by_doc = {r.doc: r for r in rows}
+    # doc 0: match at line 2 of 5 → window [0, 5)
+    assert (by_doc[0].start, by_doc[0].end, by_doc[0].match_line) == (0, 5, 2)
+    assert by_doc[0].content.split("\n")[2] == "spark join vector"
+    # doc 1: match at line 0 of 2 → clamped window [0, 2)
+    assert (by_doc[1].start, by_doc[1].end, by_doc[1].match_line) == (0, 2, 0)
+    assert by_doc[1].line == "spark join vector"
+
+
+def test_grep_skips_binary_documents(spark):
+    """NUL byte ⇒ binary ⇒ skipped (BinaryDetection::quit, tools.rs:485)."""
+    d = spark.createDataFrame(
+        [(0, "match me\nplain text"), (1, "match me\x00binary junk")],
+        ["doc_id", "text"],
+    )
+    assert {r.doc for r in S.grep(d, "match me").collect()} == {0}
+    assert {r.doc for r in S.grep(d, "match me", skip_binary=False).collect()} == {0, 1}
+
+
+def test_grep_by_file_groups_matches(spark, docs):
+    rows = S.grep_by_file(docs, "spark join", ignore_case=True).collect()
+    got = {r.doc: (r.n_matches, list(r.match_lines)) for r in rows}
+    assert got == {0: (1, [2]), 1: (1, [0]), 3: (1, [0])}
+
+
+def test_formatters_match_reference_layout(spark, docs):
+    import json
+
+    from semtools_spark import formatters as FM
+
+    res = S.search(docs, "spark join vector", top_k=1, n_lines=1)
+    # O1 text: header + 1-based right-aligned line numbers (cmds/search.rs:43-59)
+    txt = FM.format_search_text(res).collect()[0].text
+    first, *rest = txt.split("\n")
+    assert first.startswith("0:1::4 (")
+    assert rest[0] == "   2: gamma delta"
+    assert rest[1] == "   3: spark join vector"
+    # O3 per-row JSON: SearchResultJSON field names (json_mode.rs:17-25)
+    obj = json.loads(FM.search_result_json(res).collect()[0].json)
+    assert set(obj) == {
+        "filename", "start_line_number", "end_line_number",
+        "match_line_number", "distance", "content",
+    }
+    assert obj["match_line_number"] == 2
+    # O3 wrapped SearchOutput (json_mode.rs:27-30)
+    out = json.loads(FM.search_output_json(res).collect()[0].json)
+    assert list(out) == ["results"] and len(out["results"]) == 1
+    # A7 chunk rendering (ask/tools.rs:530-547)
+    g = S.grep(docs, "spark join", n_lines=1)
+    chunk = FM.format_grep_chunks(g).orderBy("doc").collect()[0].chunk
+    assert chunk.startswith("<chunk file=0 start=1 end=4>\n")
+    assert chunk.endswith("\n</chunk>\n")

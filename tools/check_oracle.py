@@ -39,6 +39,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the flagship VALUES oracle reads the corpus at oracle-build time;
+    # point it at the sf under test (driver default: sf0.01)
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import duckdb
 
     import __spark_entry__ as entry_mod
