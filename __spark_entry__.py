@@ -448,10 +448,14 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_dedup_jaccard(spark, sf_dir):
+    """Exact Jaccard verifier with the hot-shingle document-frequency cap
+    engaged (df > 5 shingles dropped — non-vacuous at sf0.01: 29 shingles
+    exceed the cap; the oracle replicates the filtered universe)."""
     pairs = dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         block_cols=("lang", "source"),
         min_jaccard_micro=5000,
+        max_shingle_df=5,
     )
     return pairs.select(
         F.col("a").cast("long"), F.col("b").cast("long"), "inter", "uni", "jac_micro"
@@ -772,7 +776,14 @@ def oracle_sql() -> dict[str, str]:
             + " FROM d"
         ),
         "dedup_jaccard": (
-            f"{shingle_cte} "
+            # hot-shingle cap mirrored: shingles with document frequency > 5
+            # are removed from every doc's shingle set before pairing
+            f"{shingle_cte}, "
+            "hot AS (SELECT s FROM (SELECT doc_id, UNNEST(sh) AS s FROM d) "
+            "GROUP BY s HAVING count(*) > 5), "
+            "hotl AS (SELECT coalesce(list(s), []) AS hs FROM hot), "
+            "dk AS (SELECT doc_id, lang, source, "
+            "list_filter(sh, x -> NOT list_contains(hotl.hs, x)) AS sh FROM d, hotl) "
             "SELECT * FROM ("
             "SELECT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b, "
             "CAST(len(list_intersect(l.sh, r.sh)) AS BIGINT) AS inter, "
@@ -780,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN len(list_distinct(l.sh || r.sh)) > 0 THEN "
             "floor((1000000 * len(list_intersect(l.sh, r.sh))) / len(list_distinct(l.sh || r.sh))) "
             "ELSE 0 END AS BIGINT) AS jac_micro "
-            "FROM d l JOIN d r ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id) "
+            "FROM dk l JOIN dk r ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id) "
             "WHERE jac_micro >= 5000"
         ),
         "dedup_simhash": (

@@ -22,7 +22,7 @@ Every numeric output is integer arithmetic → bit-exact vs the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from semtools_spark.functions.hashing import (
@@ -73,11 +73,21 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-signature in ≥1
     band. Shuffles on (band, signature-slice) — never all-pairs. Returns
-    distinct (a, b) with a < b."""
-    assert num_hashes % bands == 0
+    distinct (a, b) with a < b.
+
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join: a degenerate band signature (e.g. the minhash of a
+    boilerplate header shared by millions of pages) would otherwise form
+    one O(bucket²) hot key. Dropping only suppresses candidates from that
+    band — true near-dups still collide in their other, non-degenerate
+    bands, and huge buckets are overwhelmingly boilerplate clusters better
+    handled by exact dedup upstream."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
@@ -94,6 +104,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     ).filter(~F.col("band_sig").contains("NULL") & (F.length("band_sig") > 0))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_sig")
+        banded = (
+            banded.withColumn("__bn", F.count("*").over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -114,7 +131,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang", "source"),
     shingle_n: int = 3,
-    min_jaccard_micro: int = 0,
+    min_jaccard_micro: int = 1,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for every overlapping pair *within a block*.
 
@@ -126,11 +144,23 @@ def ngram_jaccard_pairs(
     dies at web scale; this one moves each (id, shingle) row once).
     |A∪B| is reconstructed as |A|+|B|−inter from per-doc set sizes.
 
+    ``max_shingle_df`` caps shingle document frequency BEFORE the
+    self-join: a corpus-frequent shingle ("the of a") is an unbounded hot
+    key producing O(df²) pair rows. Shingles with df > cap are dropped
+    from the shingle universe (both intersection AND set sizes — Jaccard
+    stays internally consistent over the filtered universe). The standard
+    recall argument: a shingle shared by more than τ documents carries no
+    near-duplicate signal, so dropping it cannot split a true near-dup
+    pair whose similarity rests on its remaining (rare) shingles.
+
     Integer output: (a, b, inter, uni, jac_micro = floor(1e6·inter/uni)).
     Pairs with zero overlap are (correctly) absent — callers filter on a
     positive jaccard anyway. Requires min_jaccard_micro > 0.
     """
-    assert min_jaccard_micro > 0, "zero-overlap pairs are not enumerated"
+    if min_jaccard_micro <= 0:
+        raise ValueError(
+            "min_jaccard_micro must be > 0: zero-overlap pairs are not enumerated"
+        )
     # The shingle expression is INLINED into the generator, and nothing
     # else references it: exploding a pre-materialized array column (which
     # is what Catalyst's CSE produces if size(sh) appears alongside
@@ -145,6 +175,16 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.explode(sh).alias("s"),
     )
+    if max_shingle_df is not None:
+        # one shuffle on the shingle (the same key the pair join needs);
+        # shingles are distinct per doc, so count(*) over s IS document
+        # frequency
+        wdf = Window.partitionBy("s")
+        tok = (
+            tok.withColumn("__df", F.count("*").over(wdf))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
     sizes = tok.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
     l, r = tok.alias("l"), tok.alias("r")
     cond = (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id"))

@@ -1,0 +1,85 @@
+"""Dedup hot-key guards: document-frequency cap on shingles, bucket-size
+cap on LSH bands (VERDICT r1 'What's wrong' #6 — a stop-word shingle or a
+degenerate band signature is an unbounded hot key at web scale)."""
+
+from __future__ import annotations
+
+import pytest
+
+from semtools_spark.operators import dedup
+
+# 30 docs sharing one boilerplate prefix (a planted hot shingle region);
+# each doc also has unique content, plus one true near-dup pair (40, 41)
+BOILER = "copyright footer legal notice all rights reserved"
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    rows = [
+        (i, "en", "web", f"{BOILER} unique{i} payload{i} tail{i} words{i} more{i}")
+        for i in range(30)
+    ]
+    rows.append((40, "en", "web", "spark join vector window table scan merge filter"))
+    rows.append((41, "en", "web", "spark join vector window table scan merge sort"))
+    return spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+
+
+def test_shingle_df_cap_bounds_boilerplate_pairs(spark, hot_docs):
+    """Uncapped, the 30 boilerplate docs all pair through the shared
+    shingles (O(df²) = 435 pairs). With df ≤ 5 the boilerplate shingles
+    are dropped and only the true near-dup pair survives."""
+    uncapped = dedup.ngram_jaccard_pairs(
+        hot_docs, min_jaccard_micro=1, max_shingle_df=None
+    )
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 435  # every boilerplate pair forms
+
+    capped = dedup.ngram_jaccard_pairs(
+        hot_docs, min_jaccard_micro=1, max_shingle_df=5
+    ).collect()
+    got = {(r.a, r.b) for r in capped}
+    assert (40, 41) in got  # true near-dup survives the cap
+    assert len(got) < 40    # boilerplate blowup suppressed
+
+
+def test_shingle_df_cap_keeps_jaccard_consistent(spark, hot_docs):
+    """Under the cap, uni = |A'|+|B'|−inter over the FILTERED universe —
+    inter can never exceed either filtered set size."""
+    rows = dedup.ngram_jaccard_pairs(
+        hot_docs, min_jaccard_micro=1, max_shingle_df=5
+    ).collect()
+    for r in rows:
+        assert 0 < r.inter <= r.uni
+        assert 0 < r.jac_micro <= 1_000_000
+
+
+def test_min_jaccard_micro_must_be_positive(spark, hot_docs):
+    with pytest.raises(ValueError, match="min_jaccard_micro"):
+        dedup.ngram_jaccard_pairs(hot_docs, min_jaccard_micro=0)
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """A boilerplate cluster collapsing into one band bucket is capped;
+    pairs from small (informative) buckets survive."""
+    base = "spark join vector window table scan merge filter sort group key"
+    rows = [(i, f"{BOILER} {BOILER} again {BOILER}") for i in range(20)]
+    rows += [(100, base), (101, base + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.a, r.b) for r in
+                dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()}
+    assert (100, 101) in uncapped
+    assert len(uncapped) > 150  # 20 identical boilerplate docs ⇒ ~190 pairs
+
+    capped = {(r.a, r.b) for r in
+              dedup.minhash_lsh_pairs(
+                  docs, num_hashes=8, bands=4, max_bucket_size=5
+              ).collect()}
+    assert (100, 101) in capped          # true pair's buckets are tiny
+    assert all(a >= 100 for a, _ in capped)  # boilerplate bucket suppressed
+
+
+def test_lsh_invalid_band_split_raises(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=3)
