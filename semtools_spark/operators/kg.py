@@ -53,7 +53,8 @@ ENTITIES = (
 
 
 def _sql_list(items) -> str:
-    return ", ".join(f"'{x}'" for x in items)
+    # escape embedded quotes: callers may pass arbitrary vocabularies
+    return ", ".join("'" + str(x).replace("'", "''") + "'" for x in items)
 
 
 def extract_triples(
@@ -209,12 +210,43 @@ def link_entities(
     return linked
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for a local/HDFS/object-store path via the
+    session's Hadoop conf — the durable-checkpoint FS layer works on any
+    cluster filesystem, not just file://."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _latest_cc_round(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Highest round k with a complete (_SUCCESS-marked) parquet snapshot
+    under ``checkpoint_dir``, or -1 if none."""
+    fs, root = _hadoop_fs(spark, checkpoint_dir)
+    if not fs.exists(root):
+        return -1
+    latest = -1
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("cc_round="):
+            k = int(name.split("=", 1)[1])
+            ok = fs.exists(
+                spark._jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/{name}/_SUCCESS")
+            )
+            if ok and k > latest:
+                latest = k
+    return latest
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 30,
     small_graph_threshold: int = 200_000,
+    checkpoint_dir: str | None = None,
+    keep_rounds: int = 2,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
@@ -228,26 +260,65 @@ def connected_components(
 
     Alternating large-star / small-star (Kiveris et al., MapReduce CC):
     converges in O(log n) rounds even on long chains (label propagation
-    would need O(diameter)). Each round is groupBy(min) + join; the edge
-    relation is localCheckpoint()ed per round to cut lineage growth —
-    the per-round write is the resume point at cluster scale (a parquet
-    checkpoint swap-in is a one-liner where a durable store exists).
+    would need O(diameter)). Each round is groupBy(min) + join, with one
+    lineage cut per round:
+
+    * ``checkpoint_dir=None`` (local default): ``localCheckpoint`` — fast,
+      but executor loss destroys the blocks and kills the job.
+    * ``checkpoint_dir=<shared fs path>`` (the cluster mode the north rule
+      requires): each round's edge relation is written as a
+      ``cc_round=<k>`` parquet snapshot and read back — durable,
+      executor-loss-safe, and a re-invocation with the same dir RESUMES
+      from the latest complete round instead of recomputing (kill
+      mid-loop → rerun → continues). Only the last ``keep_rounds``
+      snapshots are retained.
 
     Skew: hub nodes (hot entities) concentrate a key; AQE skew-join is on
     (session.py) and large-star's neighbor-min aggregation is a map-side
     partial aggregate, so hubs cost O(|Γ(hub)|) map work, not a hot reduce.
     """
-    # symmetric, dedup'd, self-loop-free edge list as (u, v) longs
-    e = (
-        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    # lazy checkpoint: the next action over e (count/sig) is the job that
-    # materializes it — one job per materialization instead of two
-    e = e.localCheckpoint(eager=False)
+    spark = edges.sparkSession
 
-    if small_graph_threshold > 0:
+    def _cut(df: DataFrame, round_no: int) -> DataFrame:
+        if checkpoint_dir is None:
+            # lazy checkpoint: the next action (count/sig probe) is the
+            # job that materializes it — one job per round. Freed by the
+            # ContextCleaner once unreferenced (Dataset.unpersist would
+            # not release RDD-level checkpoint blocks anyway).
+            return df.localCheckpoint(eager=False)
+        path = f"{checkpoint_dir}/cc_round={round_no:05d}"
+        df.write.mode("overwrite").parquet(path)
+        stale = round_no - keep_rounds
+        if stale >= 0:
+            fs, _ = _hadoop_fs(spark, checkpoint_dir)
+            sp = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{checkpoint_dir}/cc_round={stale:05d}"
+            )
+            if fs.exists(sp):
+                fs.delete(sp, True)
+        return spark.read.parquet(path)
+
+    start_round = 0
+    resumed = None
+    if checkpoint_dir is not None:
+        latest = _latest_cc_round(spark, checkpoint_dir)
+        if latest >= 0:
+            resumed = spark.read.parquet(f"{checkpoint_dir}/cc_round={latest:05d}")
+            start_round = latest + 1
+
+    if resumed is not None:
+        e = resumed
+    else:
+        # symmetric, dedup'd, self-loop-free edge list as (u, v) longs
+        e = (
+            edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        e = _cut(e, 0)
+        start_round = 1
+
+    if small_graph_threshold > 0 and resumed is None:
         n_edges = e.count()
         if n_edges <= small_graph_threshold:
             return _driver_union_find(e)
@@ -262,9 +333,8 @@ def connected_components(
             F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
         ).first()
 
-    prev = e
     prev_sig = _sig(e)
-    for _ in range(max_iterations):
+    for round_no in range(start_round, start_round + max_iterations):
         # Large-star: for v ∈ Γ(u) with v > u: connect v → m(u)
         m = _min_nbr(e)
         large = (
@@ -290,14 +360,11 @@ def connected_components(
         new_e = small.union(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
-        # one lineage-cutting checkpoint per round (the round's only
-        # materialization; on a cluster this is the per-round resume
-        # write). Lazy + sig: the convergence probe IS the materializing
-        # job, so each round runs exactly one job.
-        new_e = new_e.localCheckpoint(eager=False)
-        new_sig = _sig(new_e)
-        prev.unpersist()
-        prev, e = new_e, new_e
+        # one lineage cut per round (local: lazy checkpoint so the
+        # convergence probe IS the materializing job — exactly one job
+        # per round; durable: parquet write + read-back, the resume point)
+        e = _cut(new_e, round_no)
+        new_sig = _sig(e)
         if (prev_sig.c, prev_sig.s) == (new_sig.c, new_sig.s):
             break
         prev_sig = new_sig

@@ -150,3 +150,58 @@ def test_materialize_graph(spark, tri_docs, tmp_path):
     assert spark.read.parquet(paths["edges"]).count() == 3
     nodes = spark.read.parquet(paths["nodes"])
     assert {r.name for r in nodes.collect()} == {"spark", "table", "row", "customer", "order"}
+
+
+def test_cc_durable_checkpoint_resume(spark, tmp_path):
+    """North-rule resumability inside the CC loop: kill mid-iteration
+    (simulated by capping max_iterations), re-invoke with the same
+    checkpoint dir, and the loop continues from the latest durable round
+    snapshot to the correct fixpoint."""
+    import os
+
+    edges = [(i, i + 1) for i in range(120)] + [(500 + i, 501 + i) for i in range(40)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want = {
+        r.node: r.component
+        for r in kg.connected_components(df, small_graph_threshold=0).collect()
+    }
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    # phase 1: 'killed' after 2 rounds — partial progress is durable
+    kg.connected_components(
+        df, small_graph_threshold=0, max_iterations=2, checkpoint_dir=ckpt
+    ).collect()
+    rounds_after_kill = {d for d in os.listdir(ckpt) if d.startswith("cc_round=")}
+    assert rounds_after_kill, "no durable round snapshots written"
+
+    # phase 2: resume — must pick up from the snapshot, not recompute,
+    # and reach the same fixpoint as the uncheckpointed run
+    got = {
+        r.node: r.component
+        for r in kg.connected_components(
+            df, small_graph_threshold=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == want
+    # resume continued the round numbering past the killed run
+    max_round = max(
+        int(d.split("=")[1]) for d in os.listdir(ckpt) if d.startswith("cc_round=")
+    )
+    assert max_round > max(
+        int(d.split("=")[1]) for d in rounds_after_kill
+    )
+    # retention: only keep_rounds snapshots remain
+    left = [d for d in os.listdir(ckpt) if d.startswith("cc_round=")]
+    assert len(left) <= 2
+
+
+def test_sql_list_escapes_quotes(spark):
+    """Vocabulary entries containing quotes must not break (or inject
+    into) the generated membership SQL."""
+    docs = spark.createDataFrame(
+        [(1, "o'brien join spark extra pad")], ["doc_id", "text"]
+    )
+    rows = kg.extract_triples(
+        docs, relations=("join",), entities=("o'brien", "spark")
+    ).collect()
+    assert [(r.subj, r.pred, r.obj) for r in rows] == [("o'brien", "join", "spark")]
