@@ -104,18 +104,32 @@ def frame_sample(
     )
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for b in batches:
-            out = {c: [] for c in list(id_cols) + ["frame_no", "frame"]}
-            for _, row in b.iterrows():
-                payload = bytes(row[binary_col] or b"")
-                n_frames = len(payload) // frame_bytes
-                for k in range(0, n_frames, every_n):
-                    for c in id_cols:
-                        out[c].append(row[c])
-                    out["frame_no"].append(k)
-                    out["frame"].append(
-                        payload[k * frame_bytes:(k + 1) * frame_bytes]
-                    )
+            payloads = [bytes(p) if p is not None else b"" for p in b[binary_col]]
+            # frames kept per row: ceil((len // frame_bytes) / every_n)
+            kept = np.array(
+                [-(-(len(p) // frame_bytes) // every_n) for p in payloads],
+                dtype=np.int64,
+            )
+            if int(kept.sum()) == 0:
+                yield pd.DataFrame(
+                    {c: pd.Series([], dtype=b[c].dtype) for c in id_cols}
+                    | {"frame_no": pd.Series([], dtype="int32"),
+                       "frame": pd.Series([], dtype=object)}
+                )
+                continue
+            row_idx = np.repeat(np.arange(len(payloads)), kept)
+            # frame_no within each row: 0, every_n, 2·every_n, …
+            offsets = np.concatenate([np.arange(k) for k in kept]) * every_n
+            frames = [
+                payloads[r][o * frame_bytes:(o + 1) * frame_bytes]
+                for r, o in zip(row_idx.tolist(), offsets.tolist())
+            ]
+            out = {c: b[c].to_numpy()[row_idx] for c in id_cols}
+            out["frame_no"] = offsets.astype("int32")
+            out["frame"] = frames
             yield pd.DataFrame(out)
 
     cols = list(id_cols) + [binary_col]

@@ -138,20 +138,85 @@ class Workspace:
 
       doc_manifest:    (doc, size_bytes, mtime, _version)
       line_embeddings: (doc, line_no, line, embedding)
+      workspace.json:  {dim, seed, _version} persisted config (W10,
+                       reference workspace/mod.rs:8-25,33-101) — embedding
+                       params live WITH the store, so reopening with
+                       mismatched params fails loudly instead of silently
+                       scoring against incompatible stored vectors.
     """
+
+    CONFIG_FILE = "workspace.json"
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
-        dim: int = 64,
-        seed: int = DEFAULT_SEED,
+        dim: int | None = None,
+        seed: int | None = None,
     ):
         self.spark = spark
         self.root = root
-        self.dim = dim
-        self.seed = seed
         os.makedirs(root, exist_ok=True)
+        cfg = self._load_config()
+        if cfg is not None:
+            for name, want in (("dim", dim), ("seed", seed)):
+                if want is not None and want != cfg[name]:
+                    raise ValueError(
+                        f"workspace at {root} was created with {name}="
+                        f"{cfg[name]}; reopening with {name}={want} would "
+                        f"mismatch the stored embeddings (delete the "
+                        f"workspace or omit {name} to use the stored value)"
+                    )
+            self.dim = cfg["dim"]
+            self.seed = cfg["seed"]
+        else:
+            self.dim = 64 if dim is None else dim
+            self.seed = DEFAULT_SEED if seed is None else seed
+            self._save_config()
+
+    @classmethod
+    def resolve(
+        cls,
+        spark: SparkSession,
+        name: str | None = None,
+        base_dir: str | None = None,
+        **kwargs,
+    ) -> "Workspace":
+        """W10 resolve: active workspace by name → $SEMTOOLS_WORKSPACE →
+        'default', rooted under base_dir → $SEMTOOLS_BASE_DIR →
+        ~/.semtools_spark/workspaces (reference workspace/mod.rs:33-101)."""
+        name = name or os.environ.get("SEMTOOLS_WORKSPACE") or "default"
+        base = base_dir or os.environ.get("SEMTOOLS_BASE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".semtools_spark", "workspaces"
+        )
+        return cls(spark, os.path.join(base, name), **kwargs)
+
+    def _config_path(self) -> str:
+        return os.path.join(self.root, self.CONFIG_FILE)
+
+    def _load_config(self) -> dict | None:
+        import json
+
+        path = self._config_path()
+        if not os.path.isfile(path):
+            return None
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _save_config(self) -> None:
+        import json
+
+        tmp = self._config_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "dim": self.dim,
+                    "seed": self.seed,
+                    "_version": CURRENT_EMBEDDING_VERSION,
+                },
+                f,
+            )
+        os.replace(tmp, self._config_path())
 
     @property
     def manifest_path(self) -> str:
@@ -254,15 +319,23 @@ class Workspace:
         }
 
     def prune(self, existing_docs: DataFrame, id_col: str = "doc_id") -> dict[str, int]:
-        """W8: stored ∖ existing → cascade delete (anti-join prune)."""
+        """W8: stored ∖ existing → cascade delete (anti-join prune).
+
+        The stale set stays a DataFrame end-to-end (no driver collect).
+        It is checkpointed before the deletes because the first delete
+        atomically swaps the manifest directory the anti-join reads —
+        without materialization the second delete would lazily re-evaluate
+        against the already-pruned manifest and delete nothing."""
         man = self.manifest()
         if man is None:
             return {"docs": 0, "lines": 0}
         stale = man.join(
             existing_docs.select(F.col(id_col).alias("doc")), "doc", "left_anti"
-        ).select("doc")
-        ids = [r.doc for r in stale.collect()]
-        return self.delete(ids) if ids else {"docs": 0, "lines": 0}
+        ).select("doc").localCheckpoint()
+        return {
+            "docs": delete_keys(self.spark, self.manifest_path, stale, ("doc",)),
+            "lines": delete_keys(self.spark, self.lines_path, stale, ("doc",)),
+        }
 
     # ---- W9: stats -------------------------------------------------------
     def stats(self) -> dict:

@@ -139,8 +139,12 @@ def run_webkg_pipeline(
         fp = fingerprint(input_paths, {**params, "stage": name})
         prior = manifest.committed(name, fp)
         if prior is not None and os.path.isdir(paths[name]) and not force:
-            report[name] = {"skipped": True, "rows": prior["rows"]}
-            return
+            # trust the commit only if the output still matches its
+            # committed per-partition lineage — a partially deleted or
+            # corrupted stage output must re-run, not feed downstream
+            if _parquet_lineage(paths[name]) == prior["partitions"]:
+                report[name] = {"skipped": True, "rows": prior["rows"]}
+                return
         t0 = time.time()
         df: DataFrame = build()
         df.write.mode("overwrite").parquet(paths[name])

@@ -154,3 +154,25 @@ def test_pipeline_input_change_invalidates_fingerprint(spark, tmp_path):
     r2 = run_webkg_pipeline(spark, p1, out, seed=SEED)
     assert not r2["stages"]["parse"]["skipped"]
     assert spark.read.parquet(r2["paths"]["parse"]).count() == 60
+
+
+def test_pipeline_corrupted_stage_output_reruns(spark, pages_path, tmp_path):
+    """A committed stage whose parquet no longer matches its per-partition
+    lineage (part file deleted after commit) must re-run, not be trusted
+    (ADVICE r1: resume previously checked only directory existence)."""
+    out = str(tmp_path / "kg_corrupt")
+    run_webkg_pipeline(spark, pages_path, out, seed=SEED)
+
+    tdir = os.path.join(out, "triples.parquet")
+    victim = next(f for f in os.listdir(tdir) if f.endswith(".parquet"))
+    os.remove(os.path.join(tdir, victim))
+
+    report = run_webkg_pipeline(spark, pages_path, out, seed=SEED)
+    assert report["stages"]["parse"]["skipped"]          # intact → reused
+    assert not report["stages"]["triples"]["skipped"]    # corrupted → re-ran
+    # re-run restored output matching a clean run
+    clean = str(tmp_path / "kg_clean2")
+    clean_report = run_webkg_pipeline(spark, pages_path, clean, seed=SEED)
+    a = spark.read.parquet(report["paths"]["graph"])
+    b = spark.read.parquet(clean_report["paths"]["graph"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -104,3 +104,61 @@ def test_cascade_delete_and_prune(spark, tmp_path, docs):
         "total_documents": 1, "total_lines": 1, "dim": 16,
         "index_type": "exact-cosine",
     }
+
+
+def test_workspace_config_persisted_and_validated(spark, tmp_path):
+    """W10: embedding params persist with the store (workspace.json);
+    reopening with mismatched dim/seed must refuse (reference
+    workspace/mod.rs:33-101 — config lives with the workspace)."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "ws")
+    ws = W.Workspace(spark, root, dim=16, seed=7)
+    assert os.path.isfile(os.path.join(root, "workspace.json"))
+
+    # omit params → stored config is used
+    again = W.Workspace(spark, root)
+    assert (again.dim, again.seed) == (16, 7)
+
+    with pytest.raises(ValueError, match="dim=16"):
+        W.Workspace(spark, root, dim=32)
+    with pytest.raises(ValueError, match="seed=7"):
+        W.Workspace(spark, root, seed=8)
+
+
+def test_workspace_resolve_env(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SEMTOOLS_WORKSPACE", "proj1")
+    monkeypatch.setenv("SEMTOOLS_BASE_DIR", str(tmp_path / "base"))
+    ws = W.Workspace.resolve(spark, dim=16)
+    assert ws.root.endswith("base/proj1")
+    named = W.Workspace.resolve(spark, name="other", dim=16)
+    assert named.root.endswith("base/other")
+
+
+def test_prune_without_driver_collect(spark, tmp_path):
+    """Prune cascades through both tables via the DataFrame path (the
+    stale set is never collect()ed) and stays correct even though the
+    first delete swaps the manifest the anti-join read."""
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
+    docs = spark.createDataFrame(
+        [(i, f"line a{i}\nline b{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    ws.sync(docs)
+    surviving = docs.filter("doc_id < 2")
+    out = ws.prune(surviving)
+    assert out == {"docs": 4, "lines": 8}
+    assert ws.stats()["total_documents"] == 2
+    assert ws.stats()["total_lines"] == 4
+
+
+def test_stdin_adhoc_source_searchable(spark):
+    """S11: one stdin-style ad-hoc doc flows through the search path."""
+    from semtools_spark.operators.search import search
+    from semtools_spark.sources.adhoc import single_doc
+
+    d = single_doc(spark, "alpha beta\nspark join vector\nomega")
+    res = search(d, "spark join vector", top_k=1, n_lines=0).collect()
+    assert len(res) == 1
+    assert res[0].doc == "<stdin>" and res[0].match_line == 1
