@@ -309,12 +309,22 @@ def connected_components(
     if resumed is not None:
         e = resumed
     else:
-        # symmetric, dedup'd, self-loop-free edge list as (u, v) longs
+        # ORIENTED edge list: every undirected edge stored once as
+        # (u, v) with u > v. Half the rows of the symmetric form — every
+        # per-round shuffle (min-aggregate, join, distinct) moves half
+        # the volume, and no round re-symmetrizes. For a center c,
+        # out-edges (c → v) hold exactly its smaller neighbors and
+        # in-edges (w → c) exactly its larger ones, which is precisely
+        # the split large-star/small-star need.
         e = (
-            edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-            .filter(F.col("u") != F.col("v"))
+            edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"),
+                F.least("a", "b").alias("v"),
+            )
+            .distinct()
         )
-        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         e = _cut(e, 0)
         start_round = 1
 
@@ -323,9 +333,13 @@ def connected_components(
         if n_edges <= small_graph_threshold:
             return _driver_union_find(e)
 
-    def _min_nbr(df: DataFrame) -> DataFrame:
-        # m(u) = min(Γ(u) ∪ {u}) — partial-aggregated map-side
-        return df.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    def _min_out(df: DataFrame) -> DataFrame:
+        # m(c) = min(Γ(c) ∪ {c}) — with oriented edges every in-neighbor
+        # is > c, so min over out-neighbors ∪ {c} suffices. Map-side
+        # partial aggregate; hubs cost map work, not a hot reduce.
+        return df.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        ).select(F.col("u").alias("c"), "m")
 
     def _sig(df: DataFrame):
         # convergence probe: edge multiset (count, checksum) fingerprint
@@ -335,30 +349,33 @@ def connected_components(
 
     prev_sig = _sig(e)
     for round_no in range(start_round, start_round + max_iterations):
-        # Large-star: for v ∈ Γ(u) with v > u: connect v → m(u)
-        m = _min_nbr(e)
+        # Large-star: every neighbor w > c connects to m(c). In the
+        # oriented form those w are exactly c's in-edges (w → c); a
+        # center with no out-edges has m(c) = c (left join + coalesce
+        # keeps its in-edges intact). Output stays oriented: w > c ≥ m.
+        m = _min_out(e)
         large = (
-            e.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            e.join(m, e["v"] == m["c"], "left")
+            .select(e["u"].alias("u"), F.coalesce(m["m"], e["v"]).alias("v"))
         )
-        # keep u→m(u) links so components stay connected
-        e2 = large.union(m.select(F.col("u"), F.col("m").alias("v"))).filter(
-            F.col("u") != F.col("v")
-        )
-        e2 = e2.union(e2.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        e2 = large.union(
+            m.filter(F.col("c") != F.col("m")).select(
+                F.col("c").alias("u"), F.col("m").alias("v")
+            )
+        ).distinct()
 
-        # Small-star: for v ∈ Γ(u) with v ≤ u: connect v → m(u)
-        m2 = _min_nbr(e2)
+        # Small-star: every neighbor v ≤ c (the out-edges) connects to
+        # m(c); v > m unless v = m (self-loop, dropped). Oriented: v > m.
+        m2 = _min_out(e2)
         small = (
-            e2.join(m2, "u")
-            .filter(F.col("v") < F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m2.select("u", F.col("m").alias("v")))
+            e2.join(m2, e2["u"] == m2["c"])
+            .select(e2["v"].alias("u"), m2["m"].alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
         new_e = small.union(
-            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            m2.filter(F.col("c") != F.col("m")).select(
+                F.col("c").alias("u"), F.col("m").alias("v")
+            )
         ).distinct()
         # one lineage cut per round (local: lazy checkpoint so the
         # convergence probe IS the materializing job — exactly one job
@@ -369,9 +386,12 @@ def connected_components(
             break
         prev_sig = new_sig
 
-    # after convergence every node points at its component min
-    comp = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
-    return comp.select(F.col("u").alias("node"), "component")
+    # At the fixpoint the graph is a union of stars (u → component min):
+    # every non-root has out-edges; roots appear only as targets.
+    m_final = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    comp = m_final.select(F.col("u").alias("node"), "component")
+    roots = comp.select(F.col("component").alias("node"), F.col("component")).distinct()
+    return comp.union(roots).distinct()
 
 
 def _driver_union_find(e: DataFrame) -> DataFrame:

@@ -76,9 +76,9 @@ def passthrough_predicate(url_col: str = "url"):
 
 
 def extract_text_udf():
-    """Vectorized Arrow UDF: html binary → extracted text string. Iterator
-    form so regex compilation amortizes across batches; no per-row Python
-    at the Spark row level (input_hint requirement)."""
+    """Arrow-batched UDF twin of :func:`extract_text_expr` — kept for
+    callers that need the pure-Python extractor inside Spark (fixture
+    cross-checks); the hot path uses the JVM expression instead."""
 
     @F.pandas_udf(T.StringType())
     def _extract(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -88,15 +88,43 @@ def extract_text_udf():
     return _extract
 
 
+def extract_text_expr(html_col: str = "html"):
+    """The pinned extractor as pure JVM regex expressions — the whole
+    parse stage stays inside whole-stage codegen: no Python workers, no
+    Arrow transfer of the html bytes, no per-row Python (the input_hint
+    requirement taken literally). Byte-identity with
+    :func:`extract_text` is asserted corpus-wide by
+    tests/test_webpipeline.py::test_extraction_byte_identical_per_url.
+
+    Steps mirror extract_text exactly: decode utf-8 → drop
+    script/style/nav/footer blocks ((?si) = DOTALL|IGNORECASE, non-greedy,
+    backreference close tag — same semantics in Java and Python regex) →
+    collect <p> group-1 contents in document order → per-paragraph entity
+    unescape (lt, gt, amp last) → join with the reference's page-concat
+    separator "\\n\\n" (client.rs:87-88)."""
+    doc = F.decode(F.col(html_col), "UTF-8")
+    stripped = F.regexp_replace(
+        doc, r"(?si)<(script|style|nav|footer)\b[^>]*>.*?</\1>", ""
+    )
+    paras = F.transform(
+        F.regexp_extract_all(stripped, F.lit(r"(?si)<p\b[^>]*>(.*?)</p>"), F.lit(1)),
+        lambda x: F.replace(
+            F.replace(F.replace(x, F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")),
+            F.lit("&amp;"),
+            F.lit("&"),
+        ),
+    )
+    return F.coalesce(F.array_join(paras, "\n\n"), F.lit(""))
+
+
 def parse_pages(pages: DataFrame) -> DataFrame:
     """web_pages → (url, warc_ts, lang, text) with text extracted.
 
-    Two scan branches so the Arrow UDF only ever sees pages that need
-    parsing (a ``when()`` would evaluate the UDF on every row — pandas
-    UDFs are hoisted out of conditional projection):
+    Two scan branches:
 
       passthrough (P1): text = utf-8 decode of the raw bytes
-      needs-parse:      text = extract_text_udf(html)
+      needs-parse:      text = extract_text_expr(html) — JVM regex inside
+                        whole-stage codegen (no Python workers at all)
 
     Both branches prune the scan to (url, warc_ts, lang, html); filters
     push to parquet. Union preserves partitioning — no shuffle anywhere.
@@ -107,7 +135,7 @@ def parse_pages(pages: DataFrame) -> DataFrame:
         "url", "warc_ts", "lang", F.decode(F.col("html"), "UTF-8").alias("text")
     )
     parse_df = base.filter(~is_pass).select(
-        "url", "warc_ts", "lang", extract_text_udf()(F.col("html")).alias("text")
+        "url", "warc_ts", "lang", extract_text_expr("html").alias("text")
     )
     return pass_df.unionByName(parse_df)
 

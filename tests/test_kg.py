@@ -205,3 +205,20 @@ def test_sql_list_escapes_quotes(spark):
         docs, relations=("join",), entities=("o'brien", "spark")
     ).collect()
     assert [(r.subj, r.pred, r.obj) for r in rows] == [("o'brien", "join", "spark")]
+
+
+def test_cc_hub_skew_star(spark):
+    """Hub-skew evidence for the north rule's skew-handling claim: one
+    node with 5,000 spokes (a hot entity) plus a long chain, forced down
+    the distributed path. The hub's min-aggregation is a map-side partial
+    aggregate and the large-star join runs under AQE skew-join — the hot
+    key must neither wedge nor mis-canonicalize."""
+    hub_edges = [(0, i) for i in range(1, 5001)]
+    chain = [(10_000 + i, 10_001 + i) for i in range(50)]
+    df = spark.createDataFrame(hub_edges + chain, ["src", "dst"])
+    got = {
+        r.node: r.component
+        for r in kg.connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert all(got[i] == 0 for i in range(5001))
+    assert all(got[10_000 + i] == 10_000 for i in range(51))
