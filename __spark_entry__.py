@@ -529,6 +529,23 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_stream_windowed(spark, sf_dir):
+    """The streaming windowed aggregation's batch twin — the SAME function
+    the watermarked stream runs (streaming/windows.py), certified here on
+    the static events table (watermark is a no-op on batch input)."""
+    from semtools_spark.streaming.windows import windowed_event_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_stats(ev)
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws_epoch"),
+        F.unix_timestamp("window_end").alias("we_epoch"),
+        "event_type",
+        "n",
+        "sum_value_centi",
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     with_bin = multimodal.attach_binary_payload(docs)
@@ -606,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_signature": _q_ann_lsh_signature,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "stream_windowed_stats": _q_stream_windowed,
         "multimodal_meta": _q_multimodal_meta,
         "text_profile": _q_text_profile,
         "lang_distribution": _q_lang_distribution,
@@ -845,6 +863,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS BIGINT) AS user_id, session_id, "
             "count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us "
             "FROM s GROUP BY 1, 2"
+        ),
+        "stream_windowed_stats": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws_epoch, "
+            "CAST(epoch(date_trunc('hour', ts)) + 3600 AS BIGINT) AS we_epoch, "
+            "event_type, count(*) AS n, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_centi "
+            "FROM events GROUP BY 1, 2, 3"
         ),
         "multimodal_meta": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

@@ -46,7 +46,14 @@ def _bench_webkg(spark, sf: float) -> tuple[float, int]:
     from semtools_spark.sources.web_pages import write_web_pages
 
     n_pages = max(2000, int((sf if sf > 0 else 0.1) * 200_000))
-    work = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    # stage outputs on tmpfs when available: the local disk anti-scales
+    # with concurrent writers (see tools/bench_scaling.py) and is not the
+    # engine behavior under measurement
+    work = (
+        "/dev/shm/semtools_bench"
+        if os.path.isdir("/dev/shm")
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    )
     os.makedirs(work, exist_ok=True)
     corpus = os.path.join(work, f"web_pages_n{n_pages}.parquet")
     if not os.path.isdir(corpus):

@@ -50,3 +50,42 @@ def test_streaming_incremental_sync(spark, tmp_path):
     hit = ws.search("delta epsilon theta", top_k=1).first()
     assert hit.doc == 2
     assert os.path.isdir(ckpt)
+
+
+def test_windowed_event_stats_stream_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over a streamed event drop
+    equals the same expressions run as a batch query — one aggregation
+    shape, two execution modes."""
+    from pyspark.sql import types as T
+
+    from semtools_spark.streaming.windows import (
+        run_windowed_stats_available,
+        windowed_event_stats,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=m), etype, float(m) / 7 + 0.5)
+        for m in range(0, 150, 5)
+        for etype in ("click", "view")
+    ]
+    src = str(tmp_path / "events_stream")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(2).write.mode("append").parquet(src)
+
+    got = run_windowed_stats_available(
+        spark, src, str(tmp_path / "ckpt"), schema, query_name="wes_test"
+    )
+    want = windowed_event_stats(spark.read.schema(schema).parquet(src))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) == 6  # 3 hourly windows x 2 event types

@@ -34,7 +34,18 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WORK = os.path.join(REPO, ".bench")
+
+# Benchmark I/O lives on tmpfs when available: this VM's single local disk
+# ANTI-scales with concurrent writers (measured: the parse stage's 3 GB
+# parquet write takes 14 s at 8 pinned cores and 24 s at 32 — writeback
+# contention), which would measure the disk, not the engine. On a real
+# N→4N cluster, HDFS/S3 I/O bandwidth scales with executors, so taking
+# the one non-scaling local resource out of the experiment is what makes
+# the two-parallelism run evidence about the JOB. Override with --work.
+_DEFAULT_WORK = (
+    "/dev/shm/semtools_bench" if os.path.isdir("/dev/shm") else os.path.join(REPO, ".bench")
+)
+WORK = _DEFAULT_WORK
 
 RUN_SNIPPET = r"""
 import json, os, shutil, sys, time
@@ -160,7 +171,15 @@ def main():
         help="page weight: ~500 words/page at 24 (realistic web page); "
              "the committed-fixture default is 4 (~60 words)",
     )
+    ap.add_argument(
+        "--work", default=_DEFAULT_WORK,
+        help="scratch dir for corpus + stage outputs (default: tmpfs when "
+             "available — the local disk anti-scales with writers and is "
+             "not the resource under test)",
+    )
     args = ap.parse_args()
+    global WORK
+    WORK = args.work
 
     os.makedirs(WORK, exist_ok=True)
     n_warm = max(1000, args.n_pages // 50)
@@ -180,14 +199,20 @@ def main():
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO,
                        capture_output=True)
 
+    # INTERLEAVE levels (lo, hi, lo, hi, …): this host's delivered
+    # performance drifts 2-3x across minutes; running all lo trials then
+    # all hi trials lets the drift land on one level and corrupt the
+    # ratio. Alternating exposes both levels to the same host weather;
+    # best-of-trials per level then compares like with like.
+    trials: dict[int, list[dict]] = {args.lo: [], args.hi: []}
+    for t in range(args.trials):
+        for cpus in (args.lo, args.hi):
+            trials[cpus].append(run_level(cpus, pages_path, warm_path, t))
     levels = {}
-    for cpus in (args.lo, args.hi):
-        best = None
-        for t in range(args.trials):
-            res = run_level(cpus, pages_path, warm_path, t)
-            if best is None or res["wall_s"] < best["wall_s"]:
-                best = res
+    for cpus, runs in trials.items():
+        best = min(runs, key=lambda r: r["wall_s"])
         best["triples_per_sec"] = round(best["triples"] / best["wall_s"], 1)
+        best["all_trial_walls"] = [r["wall_s"] for r in runs]
         levels[str(cpus)] = best
 
     hw = hw_ceiling(args.lo, args.hi)
