@@ -474,6 +474,14 @@ def _q_dedup_lsh_pairs(spark, sf_dir):
     return pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
 
 
+def _q_dedup_groups(spark, sf_dir):
+    """Near-dup clustering: LSH candidate pairs → connected components →
+    (doc_id, group_id). Oracle: the same pairs in SQL + a recursive-CTE
+    min-label transitive closure."""
+    g = dedup.near_dup_groups(_t(spark, sf_dir, "documents"), num_hashes=8, bands=4)
+    return g.select(F.col("doc_id").cast("long"), F.col("group_id").cast("long"))
+
+
 def _q_dedup_embedding(spark, sf_dir):
     pairs = dedup.embedding_near_dups(
         _t(spark, sf_dir, "embeddings"), max_distance=0.72
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_groups": _q_dedup_groups,
         "dedup_embedding": _q_dedup_embedding,
         "ann_lsh_signature": _q_ann_lsh_signature,
         "events_hourly": _q_events_hourly,
@@ -635,6 +644,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect; views: region nation customer supplier part
 # orders lineitem events documents embeddings)
 # --------------------------------------------------------------------------
+
+
+def _lsh_pairs_ctes() -> str:
+    """CTE chain (sig, banded, pairs) for the banded-minhash candidate
+    pairs — shared by the dedup_lsh_pairs and dedup_groups oracles.
+    Assumes the shingle CTE (d) is already in scope."""
+    return (
+        "sig AS (SELECT CAST(doc_id AS BIGINT) AS did, "
+        + ", ".join(minhash_sql_duckdb("sh", 8))
+        + " FROM d), banded AS ("
+        + " UNION ALL ".join(
+            f"SELECT did, {b} AS band, "
+            f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_sig "
+            f"FROM sig WHERE mh{2*b} IS NOT NULL AND mh{2*b+1} IS NOT NULL"
+            for b in range(4)
+        )
+        + "), pairs AS (SELECT DISTINCT l.did AS a, r.did AS b FROM banded l "
+        "JOIN banded r ON l.band = r.band AND l.band_sig = r.band_sig "
+        "AND l.did < r.did)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -817,18 +846,21 @@ def oracle_sql() -> dict[str, str]:
             f"CAST({simhash_sql_duckdb(words, 16)} AS BIGINT) AS simhash FROM documents"
         ),
         "dedup_lsh_pairs": (
-            f"{shingle_cte}, sig AS (SELECT CAST(doc_id AS BIGINT) AS did, "
-            + ", ".join(minhash_sql_duckdb("sh", 8))
-            + " FROM d), banded AS ("
-            + " UNION ALL ".join(
-                f"SELECT did, {b} AS band, "
-                f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_sig "
-                f"FROM sig WHERE mh{2*b} IS NOT NULL AND mh{2*b+1} IS NOT NULL"
-                for b in range(4)
-            )
-            + ") SELECT DISTINCT l.did AS a, r.did AS b FROM banded l "
-            "JOIN banded r ON l.band = r.band AND l.band_sig = r.band_sig "
-            "AND l.did < r.did"
+            f"{shingle_cte}, {_lsh_pairs_ctes()} SELECT a, b FROM pairs"
+        ),
+        "dedup_groups": (
+            # min-label transitive closure over the same candidate pairs:
+            # walk(n, m) saturates every node with every reachable label,
+            # min(m) per node = the component's min doc id
+            shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+            + f", {_lsh_pairs_ctes()}, "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+            "walk(n, m) AS ("
+            "SELECT a AS n, a AS m FROM (SELECT DISTINCT a FROM edges) "
+            "UNION "
+            "SELECT e.a AS n, w.m FROM edges e JOIN walk w ON e.b = w.n) "
+            "SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS group_id "
+            "FROM walk GROUP BY n"
         ),
         "dedup_embedding": (
             "SELECT a, b, dist_micro FROM ("

@@ -219,6 +219,38 @@ def ngram_jaccard_pairs(
     return pairs.filter(F.col("jac_micro") >= min_jaccard_micro)
 
 
+def near_dup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: banded-LSH candidate pairs → connected
+    components → (doc_id, group_id) with group_id = min doc id of the
+    cluster. The end-to-end dedup composition a training-data pipeline
+    actually runs: transitive near-dup chains (A≈B, B≈C) collapse into
+    one group even when A and C never collide directly. Only documents
+    with at least one candidate pair appear; all other docs are their own
+    group by definition.
+
+    Scale shape: pairs are bucket-joined (never all-pairs), components
+    run O(log n) shuffle rounds on the pair relation only (≪ corpus)."""
+    from semtools_spark.operators.kg import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs, src="a", dst="b")
+    return comp.select(
+        F.col("node").alias(id_col), F.col("component").alias("group_id")
+    )
+
+
 def simhash_buckets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

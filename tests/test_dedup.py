@@ -83,3 +83,22 @@ def test_lsh_invalid_band_split_raises(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=3)
+
+
+def test_near_dup_groups_transitive(spark):
+    """A≈B and B≈C collapse into one group even if A and C never collide
+    directly; the group id is the min doc id."""
+    base = "spark join vector window table scan merge filter sort group key"
+    docs = spark.createDataFrame(
+        [
+            (10, base + " aaa bbb"),
+            (11, base + " aaa ccc"),      # pairs with 10
+            (12, base + " ddd ccc eee"),  # pairs with 11 (maybe not 10)
+            (99, "totally different content with nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = {r.doc_id: r.group_id for r in
+              dedup.near_dup_groups(docs, num_hashes=8, bands=4).collect()}
+    assert groups.get(10) == groups.get(11) == 10
+    assert 99 not in groups  # no candidate pair → own group by definition
