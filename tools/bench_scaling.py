@@ -50,12 +50,20 @@ WORK = _DEFAULT_WORK
 RUN_SNIPPET = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
-from semtools_spark.session import get_spark
+from semtools_spark.session import get_spark, get_spark_cluster
 from semtools_spark.pipeline import run_webkg_pipeline
 
 cpus = {cpus}
-spark = get_spark("bench_scaling", cpus=cpus, shuffle_partitions=cpus,
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": "8m"}})
+if {cluster_mode!r}:
+    # real separate executor JVMs (local-cluster) + addPyFile shipping —
+    # the spark-submit --py-files deployment story; N executors = cpus/4
+    spark = get_spark_cluster(
+        "bench_scaling", n_executors=cpus // 4, cores_per_executor=4,
+        executor_mem_mb=3072, shuffle_partitions=cpus,
+        extra_conf={{"spark.sql.files.maxPartitionBytes": "8m"}})
+else:
+    spark = get_spark("bench_scaling", cpus=cpus, shuffle_partitions=cpus,
+                      extra_conf={{"spark.sql.files.maxPartitionBytes": "8m"}})
 
 # Warmup: run the IDENTICAL pipeline on a small slice of the corpus first.
 # This registers executors, spawns their Python-worker pools, and
@@ -84,13 +92,16 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, pages_path: str, warm_path: str, trial: int) -> dict:
+def run_level(
+    cpus: int, pages_path: str, warm_path: str, trial: int, cluster: bool = False
+) -> dict:
     out = os.path.join(WORK, f"kg_out_c{cpus}_t{trial}")
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(out + ".warm", ignore_errors=True)
     os.sync()  # don't inherit writeback debt from the previous level/trial
     code = RUN_SNIPPET.format(
-        repo=REPO, cpus=cpus, pages=pages_path, warm_pages=warm_path, out=out
+        repo=REPO, cpus=cpus, pages=pages_path, warm_pages=warm_path, out=out,
+        cluster_mode=cluster,
     )
     # taskset pins JVM + Python workers to the level's core budget — the
     # honest simulation of "this many cores of hardware"
@@ -177,6 +188,12 @@ def main():
              "available — the local disk anti-scales with writers and is "
              "not the resource under test)",
     )
+    ap.add_argument(
+        "--cluster", action="store_true",
+        help="run each level as local-cluster[N,4] (separate executor JVMs "
+             "+ addPyFile shipping — the spark-submit --py-files analog) "
+             "instead of local[cpus]; N = cpus/4",
+    )
     args = ap.parse_args()
     global WORK
     WORK = args.work
@@ -207,7 +224,9 @@ def main():
     trials: dict[int, list[dict]] = {args.lo: [], args.hi: []}
     for t in range(args.trials):
         for cpus in (args.lo, args.hi):
-            trials[cpus].append(run_level(cpus, pages_path, warm_path, t))
+            trials[cpus].append(
+                run_level(cpus, pages_path, warm_path, t, cluster=args.cluster)
+            )
     levels = {}
     for cpus, runs in trials.items():
         best = min(runs, key=lambda r: r["wall_s"])
@@ -224,24 +243,32 @@ def main():
     # the embed ceiling is the fairest same-computation yardstick: bare
     # pinned processes doing this engine's own hot-path computation
     ceiling = hw["embed"]["efficiency"]
+    mode = (
+        f"local-cluster[{args.lo // 4},4] vs local-cluster[{args.hi // 4},4] "
+        "(separate executor JVMs, addPyFile shipping)"
+        if args.cluster
+        else f"local[{args.lo}] vs local[{args.hi}]"
+    )
     out = {
         "metric": "webkg_scaling_efficiency",
         "value": round(efficiency, 3),
         "unit": "fraction",
         "n_pages": args.n_pages,
         "speedup": round(speedup, 3),
+        "mode": "local-cluster" if args.cluster else "local",
         "levels": levels,
         "hw_ceiling": hw,
         "efficiency_vs_hw_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
         "note": (
-            f"identical pipeline + corpus, taskset-pinned local[{args.lo}] vs "
-            f"local[{args.hi}]; efficiency = speedup / {ratio:g}. hw_ceiling = "
+            f"identical pipeline + corpus, taskset-pinned {mode}; "
+            f"efficiency = speedup / {ratio:g}. hw_ceiling = "
             "bare-multiprocessing scaling of a pure-ALU loop and this engine's "
             "own embed computation on the same pinned cores (no Spark) — the "
             "machine's achievable ceiling; see BASELINE.md"
         ),
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = "BENCH_SCALING_CLUSTER.json" if args.cluster else "BENCH_SCALING.json"
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
