@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the web-KG construction pipeline.
+
+The north-rule deployment story:
+
+    spark-submit --py-files semtools_spark.zip jobs/run_kg.py \
+        --pages s3://bucket/web_pages --out s3://bucket/kg \
+        --cc-checkpoint s3://bucket/kg/_cc_ckpt
+
+On a cluster the session comes from spark-submit's conf (master, executor
+count/memory, shuffle partitions); this script only creates a session when
+launched outside spark-submit (local smoke runs). Re-running with the same
+--out resumes from the checkpoint manifest (committed stages whose inputs
+and on-disk lineage still match are skipped); --cc-checkpoint additionally
+makes the connected-components loop itself resumable mid-iteration.
+
+Build the --py-files zip with:  python -c "from semtools_spark.session \
+import _package_zip; print(_package_zip())"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True,
+                    help="input web_pages table (url, warc_ts, html, text, lang)")
+    ap.add_argument("--out", required=True, help="output/checkpoint directory")
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--max-link-distance", type=float, default=None)
+    ap.add_argument("--force", action="store_true",
+                    help="recompute every stage, ignoring committed manifests")
+    ap.add_argument("--cc-checkpoint", default=None,
+                    help="shared-fs dir for durable per-round CC snapshots")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active  # spark-submit / existing session owns the config
+    else:
+        from semtools_spark.session import get_spark
+
+        spark = get_spark("run_kg")
+
+    from semtools_spark import pipeline as P
+
+    report = P.run_webkg_pipeline(
+        spark,
+        args.pages,
+        args.out,
+        dim=args.dim,
+        seed=args.seed,
+        max_link_distance=args.max_link_distance,
+        force=args.force,
+        cc_checkpoint_dir=args.cc_checkpoint,
+    )
+    print(json.dumps(report["stages"], sort_keys=True))
+    print(json.dumps({"paths": report["paths"], "manifest": report["manifest"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -442,7 +442,9 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
 
 
 def canonicalize_mentions(
-    linked: DataFrame, mention_offset: int = 1_000_000_000
+    linked: DataFrame,
+    mention_offset: int = 1_000_000_000,
+    cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Surface-form canonicalization: union mention→entity links into a
     bipartite graph (mentions offset into a disjoint id space), run CC,
@@ -459,7 +461,7 @@ def canonicalize_mentions(
     edges = m_ids.select(
         F.col("mention_node").alias("src"), F.col("entity_id").alias("dst")
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, checkpoint_dir=cc_checkpoint_dir)
     return (
         m_ids.join(comp, m_ids.mention_node == comp.node, "left")
         .select(

@@ -125,6 +125,7 @@ def run_webkg_pipeline(
     max_link_distance: float | None = None,
     force: bool = False,
     fail_after: str | None = None,
+    cc_checkpoint_dir: str | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns per-stage metrics plus
     the output paths. ``fail_after='triples'`` raises StageFailure right
@@ -198,7 +199,10 @@ def run_webkg_pipeline(
     run_stage(
         "canon",
         [paths["link"]],
-        lambda: kg.canonicalize_mentions(spark.read.parquet(paths["link"])),
+        lambda: kg.canonicalize_mentions(
+            spark.read.parquet(paths["link"]),
+            cc_checkpoint_dir=cc_checkpoint_dir,
+        ),
     )
 
     # 5. graph: canonical triples with provenance counts
