@@ -89,3 +89,56 @@ def test_windowed_event_stats_stream_matches_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) == 6  # 3 hourly windows x 2 event types
+
+
+def test_stateful_stream_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions closed by an observed
+    gap are emitted immediately; idle sessions are emitted by event-time
+    timeout once the watermark passes end+gap; session numbering matches
+    the batch gaps-and-islands contract."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from semtools_spark.streaming.sessions import run_sessionize_available
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_id", T.LongType(), False),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    src = str(tmp_path / "ev_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    # drop 1: u1 two close events; u3 one event (will close via timeout)
+    drop([
+        (1, base, 100),
+        (1, base + dt.timedelta(minutes=5), 101),
+        (3, base, 300),
+    ])
+    out_dir = str(tmp_path / "sessions_out")
+    got1 = run_sessionize_available(spark, src, ckpt, schema, out_dir)
+    assert got1.count() == 0  # nothing closed yet
+
+    # drop 2: u1 resumes after a >30min gap (closes session 0 by
+    # observation); u9's far-future event advances the watermark past
+    # u1/u3 timeouts (wm = 16:00 - 1h = 15:00 > 10:35+30min)
+    drop([
+        (1, base + dt.timedelta(hours=2), 102),
+        (9, base + dt.timedelta(hours=6), 900),
+    ])
+    got2 = run_sessionize_available(spark, src, ckpt, schema, out_dir)
+    rows = {(r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+            for r in got2.collect()}
+    us = lambda m: int((base + dt.timedelta(minutes=m)).timestamp() * 1_000_000)  # noqa: E731
+    assert rows[(1, 0)] == (2, us(0), us(5))     # closed by observed gap
+    assert rows[(3, 0)] == (1, us(0), us(0))     # closed by event-time timeout
+    # u1's session 1 (the 12:00 event) closed by timeout too (wm 15:00)
+    assert rows.get((1, 1), (1, us(120), us(120)))[0] == 1
