@@ -496,6 +496,26 @@ def _q_ann_lsh_signature(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_assign(spark, sf_dir):
+    """IVF inverted-list assignment (map-only argmin over the seeded
+    centroid codebook) — the partition key of the IVF scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb, n_centroids=8, dim=DIM).select(
+        F.col("vec_id").cast("long"), F.col("centroid_id").cast("int")
+    )
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: scan only the nprobe nearest inverted lists,
+    exact re-rank inside them."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _query_vec(), k=10, nprobe=2, n_centroids=8, dim=DIM
+    ).select(
+        F.col("vec_id").cast("long"), F.col("centroid_id").cast("int"), "dist_micro"
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -630,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "dedup_embedding": _q_dedup_embedding,
         "ann_lsh_signature": _q_ann_lsh_signature,
+        "ann_ivf_assign": _q_ann_ivf_assign,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "stream_windowed_stats": _q_stream_windowed,
@@ -644,6 +666,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect; views: region nation customer supplier part
 # orders lineitem events documents embeddings)
 # --------------------------------------------------------------------------
+
+
+def _ivf_dists_sql() -> str:
+    """DuckDB list of integer micro-unit distances to each seeded IVF
+    centroid (same codebook as the Spark side)."""
+    cents = similarity.ivf_centroids(8, DIM)
+    return "[" + ", ".join(
+        "CAST(floor(("
+        + cosine_distance_sql_duckdb(
+            "embedding", "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        )
+        + ") * 1000000) AS BIGINT)"
+        for c in cents
+    ) + "]"
+
+
+def _ivf_probe_sql() -> str:
+    """The nprobe centroid ids nearest the shared query vector — computed
+    by the same driver-side function the Spark query uses."""
+    probe = similarity.ivf_probe_ids(_query_vec(), nprobe=2, n_centroids=8, dim=DIM)
+    return ", ".join(str(i) for i in probe)
 
 
 def _lsh_pairs_ctes() -> str:
@@ -876,6 +919,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
             f"CAST({int_hyperplane_signature_sql_duckdb(8)} AS BIGINT) AS lsh_bucket "
             "FROM embeddings"
+        ),
+        "ann_ivf_assign": (
+            f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS centroid_id "
+            f"FROM (SELECT vec_id, {_ivf_dists_sql()} AS d FROM embeddings)"
+        ),
+        "ann_ivf_topk": (
+            f"SELECT vec_id, centroid_id, dist_micro FROM ("
+            f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS centroid_id, "
+            f"CAST(floor(({dist}) * 1000000) AS BIGINT) AS dist_micro "
+            f"FROM (SELECT vec_id, embedding, {_ivf_dists_sql()} AS d FROM embeddings)) "
+            f"WHERE centroid_id IN ({_ivf_probe_sql()}) "
+            f"ORDER BY dist_micro, vec_id LIMIT 10"
         ),
         "events_hourly": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "

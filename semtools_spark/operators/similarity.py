@@ -165,6 +165,101 @@ def int_hyperplane_signature_sql_duckdb(
     return "(" + " + ".join(terms) + ")"
 
 
+def ivf_centroids(n_centroids: int = 8, dim: int = 64, seed: int = 42) -> np.ndarray:
+    """Deterministic IVF 'coarse quantizer': Philox-seeded unit-norm
+    centroids. A kmeans-trained codebook drops in here unchanged — the
+    partition/probe plumbing (the Spark-side work) is identical; seeded
+    centroids keep the operator reproducible anywhere with no model
+    artifact to ship."""
+    rng = np.random.Generator(np.random.Philox(key=(seed << 8) | 0xC3))
+    mat = rng.standard_normal((n_centroids, dim))
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF list assignment: each vector → its nearest centroid (integer
+    micro-unit cosine distance, ties to the lowest centroid id). Map-only
+    JVM expressions; at scale the centroid id is the partition/cluster
+    key the inverted lists live under."""
+    cents = ivf_centroids(n_centroids, dim, seed)
+    # centroid literals spliced as SQL arrays: cosine_distance_expr takes
+    # SQL expression strings, not Columns
+    dists = F.array(
+        *[
+            F.floor(
+                cosine_distance_expr(
+                    vec_col, "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+                )
+                * 1000000
+            ).cast("long")
+            for c in cents
+        ]
+    )
+    return emb.withColumn("__d", dists).withColumn(
+        out_col,
+        (F.expr("array_position(__d, array_min(__d))") - 1).cast("int"),
+    ).drop("__d")
+
+
+def ivf_probe_ids(
+    query_vec: np.ndarray,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[int]:
+    """Driver-side coarse search: the nprobe centroid ids nearest the
+    query (deterministic; shared verbatim by the oracle rendering)."""
+    cents = ivf_centroids(n_centroids, dim, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / qn if qn > 0 else q
+    d = 1.0 - cents @ q
+    return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: scan ONLY the nprobe nearest inverted lists
+    (~nprobe/n_centroids of the corpus — with the assignment
+    pre-materialized and partitioned by centroid_id, partition pruning
+    makes this a fractional scan), exact cosine re-rank inside them.
+    Returns (id, centroid_id, dist_micro) ascending."""
+    probe = ivf_probe_ids(query_vec, nprobe, n_centroids, dim, seed)
+    assigned = ivf_assign(emb, n_centroids, dim, seed, id_col, vec_col)
+    scored = (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .withColumn("__q", vector_literal(query_vec))
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.floor(cosine_distance_expr(vec_col, "__q") * 1000000)
+            .cast("long")
+            .alias("dist_micro"),
+        )
+    )
+    return scored.orderBy("dist_micro", id_col).limit(k)
+
+
 def lsh_bucket_ann(
     emb: DataFrame,
     k: int = 1,

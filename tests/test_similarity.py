@@ -79,3 +79,34 @@ def test_minhash_lsh_recall_on_planted_dups(spark):
              dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ivf_assign_is_argmin(spark, embeddings):
+    """Each vector's assigned centroid is the true argmin (ties → lowest
+    id) of integer micro-unit cosine distances — numpy cross-check."""
+    rows = embeddings.limit(30).select("vec_id", "embedding").collect()
+    got = {r.vec_id: r.centroid_id for r in
+           similarity.ivf_assign(embeddings.limit(30), n_centroids=8, dim=64).collect()}
+    cents = similarity.ivf_centroids(8, 64)
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        nv = np.linalg.norm(v)
+        d = []
+        for c in cents:
+            nc = np.linalg.norm(c)
+            d.append(int(np.floor((1.0 - (v @ c) / (nv * nc) if nv * nc > 0 else 1.0) * 1e6)))
+        assert got[r.vec_id] == int(np.argmin(d))
+
+
+def test_ivf_topk_probes_subset_and_full_probe_is_exact(spark, embeddings):
+    """nprobe = n_centroids degenerates to exact brute force; nprobe < n
+    returns results only from probed lists."""
+    q = [float(x) for x in np.asarray(embeddings.first().embedding)]
+    exact = [r.vec_id for r in
+             similarity.brute_force_topk(embeddings, q, k=5).collect()]
+    full = [r.vec_id for r in
+            similarity.ivf_topk(embeddings, q, k=5, nprobe=8, n_centroids=8, dim=64).collect()]
+    assert full == exact
+    probe = set(similarity.ivf_probe_ids(q, nprobe=2, n_centroids=8, dim=64))
+    part = similarity.ivf_topk(embeddings, q, k=5, nprobe=2, n_centroids=8, dim=64).collect()
+    assert part and all(r.centroid_id in probe for r in part)
