@@ -354,6 +354,35 @@ def _q_q5_local_suppliers(spark, sf_dir):
     )
 
 
+def _q_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a lineitem ⋈ part
+    join (part broadcast — the dimension side), integer revenue units.
+    Output: promo and total revenue in e4 units plus a permille ratio."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.floor(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.floor(F.col("l_discount") * 100).cast("long")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_rev_e4"),
+            F.sum(rev).alias("total_rev_e4"),
+        )
+        .select(
+            "promo_rev_e4",
+            "total_rev_e4",
+            # exact bigint division: a float ratio of ~1e14-scale ints can
+            # differ in the last ulp across engines
+            F.expr("CAST(promo_rev_e4 * 1000 DIV total_rev_e4 AS BIGINT)")
+            .alias("promo_permille"),
+        )
+    )
+
+
 def _q_w9_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
@@ -640,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
         "q5_local_suppliers": _q_q5_local_suppliers,
+        "q14_promo": _q_q14_promo,
         "w9_counts": _q_w9_counts,
         "s5_search_topk": _q_search_topk,
         "dedup_exact": _q_dedup_exact,
@@ -850,6 +880,19 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
             "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
             "GROUP BY n_name"
+        ),
+        "q14_promo": (
+            "SELECT promo_rev_e4, total_rev_e4, "
+            "CAST(promo_rev_e4 * 1000 // total_rev_e4 AS BIGINT) AS promo_permille "
+            "FROM (SELECT "
+            "CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) * (100 - CAST(floor(l_discount * 100) AS BIGINT)) "
+            "ELSE 0 END) AS BIGINT) AS promo_rev_e4, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_e4 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00')"
         ),
         "w9_counts": (
             "SELECT count(*) AS total_documents, "
