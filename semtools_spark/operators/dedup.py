@@ -266,14 +266,28 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     block_col: str = "label",
     max_distance: float = 0.1,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocks over a pre-embedded column,
-    JVM-side (codegen) cosine. Returns (a, b, dist_micro)."""
+    JVM-side (codegen) cosine. Returns (a, b, dist_micro).
+
+    Quadratic WITHIN a block by design (this is the exact verifier; LSH
+    candidate generation bounds block sizes upstream) — ``max_block_size``
+    additionally drops oversized blocks outright, the same hot-key guard
+    as the LSH bucket cap: a degenerate block at web scale is one
+    unbounded O(n²) key."""
     from semtools_spark.functions.vectors import cosine_distance_expr
 
     d = emb.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
     )
+    if max_block_size is not None:
+        wb = Window.partitionBy("blk")
+        d = (
+            d.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= max_block_size)
+            .drop("__bn")
+        )
     l, r = d.alias("l"), d.alias("r")
     pairs = l.join(
         r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))

@@ -102,3 +102,21 @@ def test_near_dup_groups_transitive(spark):
               dedup.near_dup_groups(docs, num_hashes=8, bands=4).collect()}
     assert groups.get(10) == groups.get(11) == 10
     assert 99 not in groups  # no candidate pair → own group by definition
+
+
+def test_embedding_near_dups_block_cap(spark):
+    """Oversized blocks are dropped whole (the O(n²) hot-key guard);
+    small blocks still pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = [float(x) for x in rng.standard_normal(8)]
+    rows = [(i, 0, v) for i in range(20)]          # hot block: 20 identical
+    rows += [(100, 1, v), (101, 1, v)]             # small block: 1 pair
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    uncapped = dedup.embedding_near_dups(emb, max_distance=0.5)
+    assert uncapped.count() == 190 + 1
+    capped = dedup.embedding_near_dups(emb, max_distance=0.5, max_block_size=5)
+    assert {(r.a, r.b) for r in capped.collect()} == {(100, 101)}
