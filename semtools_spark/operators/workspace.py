@@ -346,3 +346,30 @@ class Workspace:
             "dim": self.dim,
             "index_type": "exact-cosine",  # vs reference HNSW (store.rs:443)
         }
+
+    # ---- O3 JSON surfaces (reference json_mode.rs:40-51) ----------------
+    def status_json(self) -> str:
+        """``WorkspaceOutput{name, root_dir, total_documents}`` — the
+        `workspace use/status --json` payload (cmds/workspace.rs:69-113)."""
+        import json
+
+        return json.dumps(
+            {
+                "name": os.path.basename(self.root.rstrip("/")),
+                "root_dir": self.root,
+                "total_documents": self.stats()["total_documents"],
+            }
+        )
+
+    def prune_json(self, existing_docs: DataFrame, id_col: str = "doc_id") -> str:
+        """Prune + the ``PruneOutput{files_removed, files_remaining}``
+        payload (json_mode.rs:48-51; cmds/workspace.rs:115-160)."""
+        import json
+
+        removed = self.prune(existing_docs, id_col=id_col)
+        return json.dumps(
+            {
+                "files_removed": removed["docs"],
+                "files_remaining": self.stats()["total_documents"],
+            }
+        )

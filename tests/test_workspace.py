@@ -162,3 +162,19 @@ def test_stdin_adhoc_source_searchable(spark):
     res = search(d, "spark join vector", top_k=1, n_lines=0).collect()
     assert len(res) == 1
     assert res[0].doc == "<stdin>" and res[0].match_line == 1
+
+
+def test_workspace_json_surfaces(spark, tmp_path):
+    """WorkspaceOutput / PruneOutput JSON payloads (reference
+    json_mode.rs:40-51) carry live store counts."""
+    import json
+
+    ws = W.Workspace(spark, str(tmp_path / "wsj"), dim=16)
+    docs = spark.createDataFrame(
+        [(i, f"alpha {i}") for i in range(4)], ["doc_id", "text"]
+    )
+    ws.sync(docs)
+    st = json.loads(ws.status_json())
+    assert st == {"name": "wsj", "root_dir": ws.root, "total_documents": 4}
+    pr = json.loads(ws.prune_json(docs.filter("doc_id < 1")))
+    assert pr == {"files_removed": 3, "files_remaining": 1}
