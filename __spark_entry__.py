@@ -409,7 +409,25 @@ def _q_search_topk(spark, sf_dir):
     )
 
 
-def _flagship_search_oracle_sql(top_k: int = 5, n_lines: int = 1) -> str:
+def _q_search_threshold(spark, sf_dir):
+    """S6/S9 threshold mode of the flagship text search: ALL lines under
+    max_distance (top_k ignored), shuffle-join context (never broadcast —
+    the match set is unbounded). VALUES-oracled like s5."""
+    from semtools_spark.operators.search import search
+
+    docs = _t(spark, sf_dir, "documents")
+    res = search(docs, QUERY_TEXT, max_distance=0.45, n_lines=1)
+    return res.select(
+        F.col("doc").cast("long"), F.col("start"), F.col("end"),
+        F.col("match_line"),
+        F.floor(F.col("distance") * 1000000).cast("long").alias("dist_micro"),
+        "content",
+    )
+
+
+def _flagship_search_oracle_sql(
+    top_k: int = 5, n_lines: int = 1, max_distance: float | None = None
+) -> str:
     """Single-node pure-Python reference run of the S1-S9 flagship search,
     emitted as a VALUES oracle. Shares only the leaf HashEmbedder with the
     engine (the same pattern as tools/make_fixtures.py); the line split,
@@ -443,7 +461,12 @@ def _flagship_search_oracle_sql(top_k: int = 5, n_lines: int = 1) -> str:
         entries.extend((doc_id, i) for i in range(len(lines)))
     mat = emb.embed_texts([per_doc[d][i] for d, i in entries])
     dists = 1.0 - (mat @ q).astype(np.float64)
-    top = sorted(zip(dists.tolist(), (e[0] for e in entries), (e[1] for e in entries)))[:top_k]
+    scored = sorted(zip(dists.tolist(), (e[0] for e in entries), (e[1] for e in entries)))
+    if max_distance is not None:
+        # S9 exclusivity: threshold set ⇒ ALL matches under it, top_k ignored
+        top = [s for s in scored if s[0] < max_distance]
+    else:
+        top = scored[:top_k]
 
     rows = []
     for dist, doc, line_no in top:
@@ -455,6 +478,13 @@ def _flagship_search_oracle_sql(top_k: int = 5, n_lines: int = 1) -> str:
             f"(CAST({doc} AS BIGINT), CAST({start} AS INTEGER), "
             f"CAST({end} AS INTEGER), CAST({line_no} AS INTEGER), "
             f"CAST({math.floor(dist * 1000000)} AS BIGINT), '{content}')"
+        )
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc, CAST(NULL AS INTEGER) AS start, "
+            'CAST(NULL AS INTEGER) AS "end", CAST(NULL AS INTEGER) AS match_line, '
+            "CAST(NULL AS BIGINT) AS dist_micro, CAST(NULL AS VARCHAR) AS content "
+            "WHERE 1 = 0"
         )
     return (
         "SELECT * FROM (VALUES "
@@ -672,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo": _q_q14_promo,
         "w9_counts": _q_w9_counts,
         "s5_search_topk": _q_search_topk,
+        "s6_search_threshold": _q_search_threshold,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -811,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE n_matches > 0"
         ),
         "s5_search_topk": _flagship_search_oracle_sql(),
+        "s6_search_threshold": _flagship_search_oracle_sql(max_distance=0.45),
         "a3_grep_ctx": (
             f"{_GREP_CTX_ORACLE_CTE} "
             'SELECT doc, start, "end", match_line, line, content FROM res'
