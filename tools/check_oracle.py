@@ -78,6 +78,20 @@ def main():
         try:
             rel = con.sql(oracles[name])
             ocols = [d[0] for d in rel.description]
+            # the DRIVER hashes Arrow values, where DuckDB decimal128 (e.g.
+            # an un-CAST SUM(BIGINT)) mismatches Spark's bigint even when
+            # every value is equal — fail here so it can't pass silently
+            decs = [
+                (f.name, str(f.type))
+                for f in rel.arrow().schema
+                if "decimal" in str(f.type)
+            ]
+            if decs:
+                failures.append(name)
+                print(f"FAIL {name}: oracle produces decimal columns {decs} "
+                      "(CAST aggregates to BIGINT)")
+                continue
+            rel = con.sql(oracles[name])
             orows = normalize(
                 [dict(zip(ocols, r)) for r in rel.fetchall()], ocols
             )
