@@ -575,7 +575,14 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _utc(spark):
+    # epoch extraction must agree with the (timezone-naive) DuckDB oracle;
+    # pin the session TZ rather than assume the driver's session config
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _q_events_hourly(spark, sf_dir):
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -592,6 +599,7 @@ def _q_events_hourly(spark, sf_dir):
 def _q_events_sessions(spark, sf_dir):
     """Sessionization (gaps-and-islands): a >30-min silence starts a new
     session. Window lag + running sum — one shuffle on user_id."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is
@@ -622,6 +630,7 @@ def _q_stream_windowed(spark, sf_dir):
     the static events table (watermark is a no-op on batch input)."""
     from semtools_spark.streaming.windows import windowed_event_stats
 
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     out = windowed_event_stats(ev)
     return out.select(
