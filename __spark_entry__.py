@@ -5,11 +5,20 @@
 
 ``queries()`` / ``oracle_sql()`` cover the operator inventory of
 SURVEY.md §2 plus the training-data-pipeline extensions (dedup families,
-similarity search, text analysis). Design rule for oracle parity: every
-numeric output is either an exact integer (md5-shared hashes, floor()ed
-micro-units, centi-int money) or a deterministic window/count — so the
-order-insensitive value-hash comparison is representation-stable across
-Spark and DuckDB.
+similarity/ANN incl. IVF, text analysis, streaming twins) — 39 queries,
+every one oracled. Design rules for oracle parity:
+
+* every numeric output is an exact integer (md5-shared hashes, floor()ed
+  micro-units, centi-int money, bigint DIV ratios) or a deterministic
+  window/count, so the order-insensitive value-hash comparison is
+  representation-stable across Spark and DuckDB;
+* every DuckDB aggregate is CAST back to BIGINT (sum(BIGINT) otherwise
+  surfaces as decimal128 in Arrow and breaks the hash even on equal
+  values — tools/check_oracle.py rejects this class automatically);
+* non-SQL-expressible paths (the embedding-UDF flagship search) are
+  oracled by the committed pure-Python single-node reference run emitted
+  as a VALUES table at oracle-build time ($SPARK_GRAFT_ORACLE_SF,
+  default sf0.01 — the driver's correctness scale).
 """
 
 from __future__ import annotations
