@@ -285,7 +285,12 @@ class Workspace:
         """Cosine search over stored line embeddings with optional doc
         filter (the reference pushes `path IN (...)` into qdrant,
         store.rs:508-515; ours is a partition-prunable isin filter).
-        Exact per-partition top-k + global merge — no oversampling error."""
+        Exact per-partition top-k + global merge — no oversampling error.
+
+        Workspace semantics differ from file-search S9: the threshold is
+        a PUSHDOWN applied together with the top_k truncation
+        (store.rs:498-499 score_threshold + :538-544 sort-and-truncate),
+        not an either/or."""
         from semtools_spark.embedding import HashEmbedder
         from semtools_spark.functions.vectors import cosine_distance_expr, vector_literal
 
@@ -306,7 +311,6 @@ class Workspace:
         )
         if max_distance is not None:
             scored = scored.filter(F.col("distance") < float(max_distance))
-            return scored.orderBy("distance", "doc", "line_no")
         return scored.orderBy("distance", "doc", "line_no").limit(top_k)
 
     # ---- W7/W8: delete & prune -----------------------------------------

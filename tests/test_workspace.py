@@ -82,9 +82,14 @@ def test_search_threshold_and_subset(spark, tmp_path, docs):
     ws.sync(docs, mtime_col="mtime")
     hit = ws.search("alpha beta gamma", top_k=1).first()
     assert (hit.doc, hit.line_no) == (1, 0)
-    # threshold mode returns all under it, ignoring top_k (S9 semantics)
-    all_rows = ws.search("alpha beta gamma", top_k=1, max_distance=2.0).collect()
-    assert len(all_rows) == ws.stats()["total_lines"]
+    # workspace semantics: threshold is a pushdown COMBINED with top_k
+    # (store.rs:498-499 + :538-544), unlike file-search S9's either/or
+    one = ws.search("alpha beta gamma", top_k=1, max_distance=2.0).collect()
+    assert len(one) == 1 and (one[0].doc, one[0].line_no) == (1, 0)
+    many = ws.search("alpha beta gamma", top_k=100, max_distance=2.0).collect()
+    assert len(many) == ws.stats()["total_lines"]
+    tight = ws.search("alpha beta gamma", top_k=100, max_distance=1e-9).collect()
+    assert len(tight) == 1  # only the exact-match line (distance 0.0) passes
     # doc-subset filter (W5's pushed path filter)
     sub = ws.search("alpha beta gamma", top_k=10, doc_subset=[2, 3]).collect()
     assert {r.doc for r in sub} <= {2, 3}
