@@ -313,6 +313,31 @@ class Workspace:
             scored = scored.filter(F.col("distance") < float(max_distance))
         return scored.orderBy("distance", "doc", "line_no").limit(top_k)
 
+    # ---- A4: the ask agent's search tool ---------------------------------
+    #: reference ask/tools.rs:109-128 Config defaults — note they differ
+    #: from the CLI's (n_lines 3, no max_distance)
+    AGENT_SEARCH_DEFAULTS = {"n_lines": 5, "max_distance": 0.5, "top_k": 3,
+                             "ignore_case": False}
+
+    def agent_search(self, query: str, doc_subset: list | None = None, **overrides) -> DataFrame:
+        """A4: the agent's search tool — workspace search under the agent
+        defaults (ask/tools.rs:109-128), with the ±n_lines context windows
+        the tool renders (format_ranked_lines, tools.rs:58-84) attached
+        from the stored lines table instead of re-reading files. Returns
+        (doc, start, end, match_line, distance, content)."""
+        from semtools_spark.operators.search import attach_context
+
+        p = {**self.AGENT_SEARCH_DEFAULTS, **overrides}
+        hits = self.search(
+            query, top_k=p["top_k"], max_distance=p["max_distance"],
+            doc_subset=doc_subset, ignore_case=p["ignore_case"],
+        )
+        stored = self.lines().select("doc", "line_no", "line")
+        out = attach_context(
+            hits.select("doc", "line_no", "distance"), stored, p["n_lines"]
+        )
+        return out.orderBy("distance", "doc", "match_line")
+
     # ---- W7/W8: delete & prune -----------------------------------------
     def delete(self, doc_ids: list) -> dict[str, int]:
         """W7 cascade delete: manifest row + all line embeddings."""

@@ -183,3 +183,19 @@ def test_workspace_json_surfaces(spark, tmp_path):
     assert st == {"name": "wsj", "root_dir": ws.root, "total_documents": 4}
     pr = json.loads(ws.prune_json(docs.filter("doc_id < 1")))
     assert pr == {"files_removed": 3, "files_remaining": 1}
+
+
+def test_agent_search_defaults_and_context(spark, tmp_path):
+    """A4: the ask agent's search tool = workspace search under the agent
+    defaults (n_lines=5, max_distance=0.5, top_k=3 — ask/tools.rs:109-128)
+    with context windows attached from the stored lines."""
+    ws = W.Workspace(spark, str(tmp_path / "wsa"), dim=16)
+    text = "\n".join(f"filler line {i}" for i in range(6)) + "\nalpha beta gamma\n" \
+           + "\n".join(f"tail line {i}" for i in range(6))
+    ws.sync(spark.createDataFrame([(1, text)], ["doc_id", "text"]))
+    rows = ws.agent_search("alpha beta gamma").collect()
+    assert rows and rows[0].match_line == 6
+    # ±5 clamped context window around line 6 of 13: [1, 12)
+    assert (rows[0].start, rows[0].end) == (1, 12)
+    assert rows[0].content.split("\n")[5] == "alpha beta gamma"
+    assert all(r.distance < 0.5 for r in rows) and len(rows) <= 3
