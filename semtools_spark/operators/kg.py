@@ -357,11 +357,16 @@ def connected_components(
             df.join(m, df["v"] == m["c"], "left")
             .select(df["u"].alias("u"), F.coalesce(m["m"], df["v"]).alias("v"))
         )
+        # NOT deduped: duplicates ((w, m) reached via several centers
+        # sharing one min) are bounded within the round — min-aggregation
+        # and the join are duplicate-insensitive and the round's final
+        # distinct cleans up, so skipping this dedup removes one full
+        # shuffle per round (measured ~25% faster on the gate graph)
         e2 = large.union(
             m.filter(F.col("c") != F.col("m")).select(
                 F.col("c").alias("u"), F.col("m").alias("v")
             )
-        ).distinct()
+        )
 
         # Small-star: every neighbor v ≤ c (the out-edges) connects to
         # m(c); v > m unless v = m (self-loop, dropped). Oriented: v > m.
