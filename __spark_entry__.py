@@ -5,7 +5,7 @@
 
 ``queries()`` / ``oracle_sql()`` cover the operator inventory of
 SURVEY.md §2 plus the training-data-pipeline extensions (dedup families,
-similarity/ANN incl. IVF, text analysis, streaming twins) — 39 queries,
+similarity/ANN incl. IVF, text analysis, streaming twins) — 40 queries,
 every one oracled. Design rules for oracle parity:
 
 * every numeric output is an exact integer (md5-shared hashes, floor()ed
@@ -564,6 +564,24 @@ def _q_ann_lsh_signature(spark, sf_dir):
     )
 
 
+def _q_ann_lsh_knn(spark, sf_dir):
+    """LSH-bucketed kNN: candidates share an integer hyperplane-signature
+    bucket, exact cosine re-rank inside — the scale path where label
+    blocks don't exist (bucket = the shuffle key)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = int_hyperplane_signature(emb, n_planes=8, dim=DIM)
+    res = similarity.knn_within_blocks(
+        bucketed, k=1, block_col="lsh_bucket",
+        query_filter=(F.col("id") % 25 == 0),
+    )
+    return res.select(
+        F.col("q").cast("long"),
+        F.col("neighbor").cast("long"),
+        "dist_micro",
+        F.col("rank").cast("int"),
+    )
+
+
 def _q_ann_ivf_assign(spark, sf_dir):
     """IVF inverted-list assignment (map-only argmin over the seeded
     centroid codebook) — the partition key of the IVF scale path."""
@@ -729,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "dedup_embedding": _q_dedup_embedding,
         "ann_lsh_signature": _q_ann_lsh_signature,
+        "ann_lsh_knn": _q_ann_lsh_knn,
         "ann_ivf_assign": _q_ann_ivf_assign,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "events_hourly": _q_events_hourly,
@@ -1012,6 +1031,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
             f"CAST({int_hyperplane_signature_sql_duckdb(8)} AS BIGINT) AS lsh_bucket "
             "FROM embeddings"
+        ),
+        "ann_lsh_knn": (
+            f"WITH sig AS (SELECT vec_id, embedding, "
+            f"CAST({int_hyperplane_signature_sql_duckdb(8)} AS BIGINT) AS b "
+            "FROM embeddings) "
+            "SELECT CAST(l.vec_id AS BIGINT) AS q, CAST(r.vec_id AS BIGINT) AS neighbor, "
+            "CAST(floor(("
+            + cosine_distance_sql_duckdb("l.embedding", "r.embedding")
+            + ") * 1000000) AS BIGINT) AS dist_micro, "
+            "CAST(row_number() OVER (PARTITION BY l.vec_id ORDER BY "
+            "CAST(floor(("
+            + cosine_distance_sql_duckdb("l.embedding", "r.embedding")
+            + ") * 1000000) AS BIGINT), r.vec_id) AS INTEGER) AS rank "
+            "FROM sig l JOIN sig r ON l.b = r.b AND l.vec_id <> r.vec_id "
+            "WHERE l.vec_id % 25 = 0 QUALIFY rank <= 1"
         ),
         "ann_ivf_assign": (
             f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
