@@ -26,8 +26,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from semtools_spark.functions.hashing import (
-    MINHASH_PRIME,
-    minhash_coeffs,
     minhash_signature_cols,
     shingles,
     simhash64,

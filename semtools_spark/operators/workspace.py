@@ -30,7 +30,6 @@ import os
 import shutil
 import uuid
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
