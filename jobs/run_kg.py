@@ -39,11 +39,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="shared-fs dir for durable per-round CC snapshots")
     args = ap.parse_args(argv)
 
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        spark = active  # spark-submit / existing session owns the config
+    # Under spark-submit PySpark never auto-creates a session for the
+    # submitted script (getActiveSession() is None), but the submitted conf
+    # carries spark.master — build from it so --master yarn/k8s is honored.
+    # Only fall back to the local-mode builder when launched as a plain
+    # python script with no submitted master.
+    if SparkConf().contains("spark.master"):
+        spark = SparkSession.builder.getOrCreate()
     else:
         from semtools_spark.session import get_spark
 

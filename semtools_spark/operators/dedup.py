@@ -236,7 +236,11 @@ def near_dup_groups(
     group by definition.
 
     Scale shape: pairs are bucket-joined (never all-pairs), components
-    run O(log n) shuffle rounds on the pair relation only (≪ corpus)."""
+    run O(log n) shuffle rounds on the pair relation only (≪ corpus).
+
+    ``id_col`` must be numeric (castable to BIGINT): connected_components
+    raises loudly on non-numeric ids (string keys like file paths must be
+    mapped to dense numeric ids first — e.g. ``F.xxhash64``)."""
     from semtools_spark.operators.kg import connected_components
 
     pairs = minhash_lsh_pairs(

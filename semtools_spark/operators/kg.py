@@ -32,6 +32,7 @@ rounds; stage 4 writes partitioned by subj-hash so graph queries co-locate.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from semtools_spark import fs as hfs
 from semtools_spark.embedding import DEFAULT_SEED, HashEmbedder
 
 # Deterministic extraction vocabulary over the synthetic corpora's word
@@ -210,33 +212,27 @@ def link_entities(
     return linked
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for a local/HDFS/object-store path via the
-    session's Hadoop conf — the durable-checkpoint FS layer works on any
-    cluster filesystem, not just file://."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
-
-
 def _latest_cc_round(spark: SparkSession, checkpoint_dir: str) -> int:
     """Highest round k with a complete (_SUCCESS-marked) parquet snapshot
     under ``checkpoint_dir``, or -1 if none."""
-    fs, root = _hadoop_fs(spark, checkpoint_dir)
-    if not fs.exists(root):
-        return -1
     latest = -1
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
+    for name, _size, _isdir in hfs.listdir(spark, checkpoint_dir):
         if name.startswith("cc_round="):
             k = int(name.split("=", 1)[1])
-            ok = fs.exists(
-                spark._jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/{name}/_SUCCESS")
-            )
-            if ok and k > latest:
+            if hfs.exists(spark, f"{checkpoint_dir}/{name}/_SUCCESS") and k > latest:
                 latest = k
     return latest
+
+
+#: input-fingerprint file inside a CC checkpoint dir — resume is only valid
+#: when the CURRENT call's edge input matches the snapshots' input
+CC_INPUT_SIG = "_input_sig.json"
+
+
+def _clear_cc_checkpoints(spark: SparkSession, checkpoint_dir: str) -> None:
+    for name, _size, _isdir in hfs.listdir(spark, checkpoint_dir):
+        if name.startswith("cc_round=") or name == CC_INPUT_SIG:
+            hfs.delete(spark, f"{checkpoint_dir}/{name}")
 
 
 def connected_components(
@@ -271,7 +267,11 @@ def connected_components(
       executor-loss-safe, and a re-invocation with the same dir RESUMES
       from the latest complete round instead of recomputing (kill
       mid-loop → rerun → continues). Only the last ``keep_rounds``
-      snapshots are retained.
+      snapshots are retained. Resume is keyed on an INPUT fingerprint
+      (edge-multiset count+checksum persisted as ``_input_sig.json``):
+      snapshots also survive completed runs, so re-running with changed
+      edges and the same dir clears the stale snapshots and recomputes
+      instead of silently returning the old graph's components.
 
     Skew: hub nodes (hot entities) concentrate a key; AQE skew-join is on
     (session.py) and large-star's neighbor-min aggregation is a map-side
@@ -290,25 +290,32 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         stale = round_no - keep_rounds
         if stale >= 0:
-            fs, _ = _hadoop_fs(spark, checkpoint_dir)
-            sp = spark._jvm.org.apache.hadoop.fs.Path(
-                f"{checkpoint_dir}/cc_round={stale:05d}"
-            )
-            if fs.exists(sp):
-                fs.delete(sp, True)
+            hfs.delete(spark, f"{checkpoint_dir}/cc_round={stale:05d}")
         return spark.read.parquet(path)
 
-    start_round = 0
-    resumed = None
-    if checkpoint_dir is not None:
-        latest = _latest_cc_round(spark, checkpoint_dir)
-        if latest >= 0:
-            resumed = spark.read.parquet(f"{checkpoint_dir}/cc_round={latest:05d}")
-            start_round = latest + 1
+    def _id_col(c: str):
+        # Fail LOUDLY when an id doesn't cast to BIGINT: silently-nulled
+        # string ids (e.g. file-path doc keys) would make the u != v
+        # filter drop every edge and return an empty result. Callers with
+        # non-numeric keys must map to dense numeric ids first.
+        casted = F.col(c).try_cast("long")
+        return F.when(
+            F.col(c).isNotNull() & casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"connected_components: id column '{c}' value '"
+                    ),
+                    F.col(c).cast("string"),
+                    F.lit(
+                        "' does not cast to BIGINT; map non-numeric ids "
+                        "to dense numeric ids first"
+                    ),
+                )
+            ),
+        ).otherwise(casted)
 
-    if resumed is not None:
-        e = resumed
-    else:
+    def _oriented() -> DataFrame:
         # ORIENTED edge list: every undirected edge stored once as
         # (u, v) with u > v. Half the rows of the symmetric form — every
         # per-round shuffle (min-aggregate, join, distinct) moves half
@@ -316,8 +323,8 @@ def connected_components(
         # out-edges (c → v) hold exactly its smaller neighbors and
         # in-edges (w → c) exactly its larger ones, which is precisely
         # the split large-star/small-star need.
-        e = (
-            edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        return (
+            edges.select(_id_col(src).alias("a"), _id_col(dst).alias("b"))
             .filter(F.col("a") != F.col("b"))
             .select(
                 F.greatest("a", "b").alias("u"),
@@ -325,8 +332,50 @@ def connected_components(
             )
             .distinct()
         )
-        e = _cut(e, 0)
+
+    def _sig(df: DataFrame):
+        # convergence probe AND input fingerprint: edge multiset
+        # (count, checksum)
+        return df.agg(
+            F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
+        ).first()
+
+    start_round = 0
+    resumed = None
+    sig0 = None
+    if checkpoint_dir is not None:
+        latest = _latest_cc_round(spark, checkpoint_dir)
+        if latest >= 0:
+            # Snapshots survive completed runs (keep_rounds retains the
+            # converged rounds), so resume must be keyed on the INPUT, not
+            # just the dir: resuming another graph's snapshots silently
+            # returns the old graph's components. Fingerprint the current
+            # oriented edge relation (one job — resume-candidate runs
+            # only) and only resume on a match; otherwise clear the dir.
+            stored = hfs.read_text(spark, f"{checkpoint_dir}/{CC_INPUT_SIG}")
+            cur = _sig(_oriented())
+            cur_sig = {"c": int(cur.c), "s": int(cur.s) if cur.s is not None else None}
+            if stored is not None and json.loads(stored) == cur_sig:
+                resumed = spark.read.parquet(f"{checkpoint_dir}/cc_round={latest:05d}")
+                start_round = latest + 1
+            else:
+                _clear_cc_checkpoints(spark, checkpoint_dir)
+
+    if resumed is not None:
+        e = resumed
+    else:
+        e = _cut(_oriented(), 0)
         start_round = 1
+        if checkpoint_dir is not None:
+            s0 = _sig(e)
+            sig0 = s0
+            hfs.write_text(
+                spark,
+                f"{checkpoint_dir}/{CC_INPUT_SIG}",
+                json.dumps(
+                    {"c": int(s0.c), "s": int(s0.s) if s0.s is not None else None}
+                ),
+            )
 
     if small_graph_threshold > 0 and resumed is None:
         n_edges = e.count()
@@ -340,12 +389,6 @@ def connected_components(
         return df.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         ).select(F.col("u").alias("c"), "m")
-
-    def _sig(df: DataFrame):
-        # convergence probe: edge multiset (count, checksum) fingerprint
-        return df.agg(
-            F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
-        ).first()
 
     def _one_round(df: DataFrame) -> DataFrame:
         # Large-star: every neighbor w > c connects to m(c). In the
@@ -388,7 +431,7 @@ def connected_components(
     # AQE replanning than the saved job costs. Durable mode must probe
     # per round anyway — each round is a resume point.
     rounds_per_probe = 1
-    prev_sig = _sig(e)
+    prev_sig = sig0 if sig0 is not None else _sig(e)
     iters_left = max_iterations
     round_no = start_round
     while iters_left > 0:

@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 from semtools_spark.functions.vectors import cosine_distance_expr, vector_literal
 
 
+def _dim_guard(vec_col: str, dim: int, expr):
+    """Wrap ``expr`` so a vector whose length != ``dim`` raises loudly.
+    zip_with against a fixed ``dim``-length weight array NULL-pads on a
+    length mismatch, which silently collapses every LSH signature into
+    bucket 0 (making the bucket-keyed candidate join quadratic) — a dim
+    mismatch must fail, not degrade."""
+    return F.when(F.size(F.col(vec_col)) == F.lit(dim), expr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"expected '{vec_col}' vectors of length {dim}, got length "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: np.ndarray,
@@ -103,7 +119,7 @@ def hyperplane_signature(
             .cast("long")
         )
         sig = term if sig is None else (sig + term)
-    return out.withColumn("lsh_bucket", sig)
+    return out.withColumn("lsh_bucket", _dim_guard(vec_col, dim, sig))
 
 
 def int_plane_weights(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
@@ -144,7 +160,7 @@ def int_hyperplane_signature(
         )
         term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
         sig = term if sig is None else (sig + term)
-    return emb.withColumn(out_col, sig)
+    return emb.withColumn(out_col, _dim_guard(vec_col, dim, sig))
 
 
 def int_hyperplane_signature_sql_duckdb(
@@ -205,7 +221,7 @@ def ivf_assign(
             for c in cents
         ]
     )
-    return emb.withColumn("__d", dists).withColumn(
+    return emb.withColumn("__d", _dim_guard(vec_col, dim, dists)).withColumn(
         out_col,
         (F.expr("array_position(__d, array_min(__d))") - 1).cast("int"),
     ).drop("__d")

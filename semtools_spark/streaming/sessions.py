@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,10 +44,40 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _batch_islands(ts: np.ndarray, gap_us: int):
+    """Vectorized gaps-and-islands over a SORTED int64 time array:
+    (starts, ends, counts) per island — the same np.diff split the batch
+    twin (events_sessions) computes with window functions."""
+    brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+    starts = ts[np.concatenate(([0], brk))]
+    ends = ts[np.concatenate((brk - 1, [len(ts) - 1]))]
+    counts = np.diff(np.concatenate(([0], brk, [len(ts)])))
+    return starts, ends, counts
+
+
 def _session_fn(gap_us: int):
-    """Per-user state transition: fold this batch's (sorted) event times
-    into the open session; emit every session closed by an observed gap;
-    keep the still-open one in state (emitted on timeout)."""
+    """Per-user state transition: split this batch's event times into
+    inactivity islands (vectorized ``np.diff``), merge them against the
+    open session's INTERVAL, emit every session that a later island
+    proves closed; keep the last one open in state (emitted on timeout).
+
+    Late-data semantics (the watermark admits events up to the watermark
+    horizon late, so a batch may carry events with t < the open session's
+    end — or even < its start):
+
+    * an island within ``gap_us`` of (or overlapping) the open session's
+      [start, end] MERGES into it — start/end only ever widen
+      (``min(start, …)`` / ``max(end, …)``), never regress;
+    * islands entirely before the open session (> gap earlier) are
+      emitted immediately as their own closed sessions — their original
+      session was already emitted or timed out, and retraction is not
+      expressible in append mode;
+    * islands after the open session close it exactly as on-time data.
+
+    Sessions are numbered per user in EMIT order (monotonic); for on-time
+    (nondecreasing) arrivals this is identical to time order and to the
+    batch twin's numbering.
+    """
 
     def fn(
         key: tuple,
@@ -63,29 +94,51 @@ def _session_fn(gap_us: int):
             )
             return
 
-        ts = sorted(
-            int(t) for pdf in pdfs for t in pdf["ts_us"].tolist()
+        ts = np.sort(
+            np.concatenate(
+                [pdf["ts_us"].to_numpy(dtype=np.int64) for pdf in pdfs]
+            )
         )
+        if len(ts) == 0:
+            if state.exists:
+                sid, n, start, end = state.get
+                state.update((sid, n, start, end))
+                state.setTimeoutTimestamp(end // 1000 + gap_us // 1000)
+            return
+        starts, ends, counts = _batch_islands(ts, gap_us)
+
         if state.exists:
             sid, n, start, end = state.get
+            # islands within gap of [start, end] merge into the open
+            # session; they are contiguous in index (islands are >gap
+            # apart from each other, and anything between two merging
+            # islands lies inside the merged span)
+            lo = int(np.searchsorted(ends, start - gap_us, side="left"))
+            hi = int(np.searchsorted(starts, end + gap_us, side="right"))
+            if lo < hi:
+                start = min(start, int(starts[lo]))
+                end = max(end, int(ends[hi - 1]))
+                n += int(counts[lo:hi].sum())
+            # sequence in time order: pre-islands (late, isolated), the
+            # open session, post-islands; all but the last close now
+            seq = (
+                [(int(starts[i]), int(ends[i]), int(counts[i])) for i in range(lo)]
+                + [(start, end, n)]
+                + [(int(starts[i]), int(ends[i]), int(counts[i])) for i in range(hi, len(starts))]
+            )
         else:
-            sid, n, start, end = 0, 0, None, None
+            sid = 0
+            seq = [(int(starts[i]), int(ends[i]), int(counts[i])) for i in range(len(starts))]
 
-        closed: list[tuple] = []
-        for t in ts:
-            if start is None:
-                start = end = t
-                n = 1
-            elif t - end > gap_us:
-                closed.append((user_id, sid, n, start, end))
-                sid, n, start, end = sid + 1, 1, t, t
-            else:
-                n += 1
-                end = t
-        state.update((sid, n, start, end))
+        closed = [
+            (user_id, sid + k, cnt, s, e)
+            for k, (s, e, cnt) in enumerate(seq[:-1])
+        ]
+        o_start, o_end, o_n = seq[-1]
+        state.update((sid + len(seq) - 1, o_n, o_start, o_end))
         # event-time timeout: close the open session once the watermark
         # passes end + gap (no more on-time events can extend it)
-        state.setTimeoutTimestamp(end // 1000 + gap_us // 1000)
+        state.setTimeoutTimestamp(o_end // 1000 + gap_us // 1000)
         if closed:
             yield pd.DataFrame(
                 closed,

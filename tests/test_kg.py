@@ -222,3 +222,78 @@ def test_cc_hub_skew_star(spark):
     }
     assert all(got[i] == 0 for i in range(5001))
     assert all(got[10_000 + i] == 10_000 for i in range(51))
+
+
+def test_cc_checkpoint_stale_input_cleared(spark, tmp_path):
+    """Resume is keyed on the INPUT fingerprint: snapshots left behind by a
+    COMPLETED run on graph A must not be resumed when the same checkpoint
+    dir is reused for graph B (the re-run-with-changed-edges workflow) —
+    previously this silently returned A's components."""
+    ckpt = str(tmp_path / "cc_ckpt_stale")
+    edges_a = [(i, i + 1) for i in range(50)]  # one chain: component 0
+    df_a = spark.createDataFrame(edges_a, ["src", "dst"])
+    got_a = {
+        r.node: r.component
+        for r in kg.connected_components(
+            df_a, small_graph_threshold=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert set(got_a.values()) == {0}
+
+    # graph B: two disjoint chains over different node ids
+    edges_b = [(1000 + i, 1001 + i) for i in range(20)] + [
+        (2000 + i, 2001 + i) for i in range(20)
+    ]
+    df_b = spark.createDataFrame(edges_b, ["src", "dst"])
+    want_b = {
+        r.node: r.component
+        for r in kg.connected_components(df_b, small_graph_threshold=0).collect()
+    }
+    got_b = {
+        r.node: r.component
+        for r in kg.connected_components(
+            df_b, small_graph_threshold=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got_b == want_b  # B's graph, not A's stale snapshots
+
+
+def test_cc_checkpoint_same_input_resumes(spark, tmp_path):
+    """Matching fingerprint still resumes: a second invocation with the
+    SAME edges reuses the converged snapshot (round numbering advances
+    past the first run's)."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt_same")
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    kg.connected_components(
+        df, small_graph_threshold=0, max_iterations=2, checkpoint_dir=ckpt
+    ).collect()
+    assert os.path.exists(os.path.join(ckpt, kg.CC_INPUT_SIG))
+    rounds1 = {d for d in os.listdir(ckpt) if d.startswith("cc_round=")}
+    got = {
+        r.node: r.component
+        for r in kg.connected_components(
+            df, small_graph_threshold=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    want = {
+        r.node: r.component
+        for r in kg.connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert got == want
+    max_round = max(
+        int(d.split("=")[1]) for d in os.listdir(ckpt) if d.startswith("cc_round=")
+    )
+    assert max_round > max(int(d.split("=")[1]) for d in rounds1)
+
+
+def test_cc_non_numeric_ids_raise(spark):
+    """String ids that don't cast to BIGINT must fail loudly, not silently
+    null out and return an empty result."""
+    df = spark.createDataFrame(
+        [("doc_a.txt", "doc_b.txt")], ["src", "dst"]
+    )
+    with pytest.raises(Exception, match="BIGINT"):
+        kg.connected_components(df, small_graph_threshold=0).collect()

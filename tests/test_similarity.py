@@ -110,3 +110,27 @@ def test_ivf_topk_probes_subset_and_full_probe_is_exact(spark, embeddings):
     probe = set(similarity.ivf_probe_ids(q, nprobe=2, n_centroids=8, dim=64))
     part = similarity.ivf_topk(embeddings, q, k=5, nprobe=2, n_centroids=8, dim=64).collect()
     assert part and all(r.centroid_id in probe for r in part)
+
+
+def test_lsh_signature_dim_mismatch_raises(spark):
+    """A vector length != dim must raise, not NULL-pad through zip_with
+    and collapse every signature into bucket 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from semtools_spark.operators.similarity import (
+        hyperplane_signature,
+        int_hyperplane_signature,
+        ivf_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id long, embedding array<double>"
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    for op in (
+        lambda d: int_hyperplane_signature(d, n_planes=4, dim=8),
+        lambda d: hyperplane_signature(d, n_planes=4, dim=8),
+        lambda d: ivf_assign(d, n_centroids=4, dim=8),
+    ):
+        with pytest.raises(Exception, match="length"):
+            op(df).collect()

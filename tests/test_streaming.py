@@ -142,3 +142,97 @@ def test_stateful_stream_sessionization(spark, tmp_path):
     assert rows[(3, 0)] == (1, us(0), us(0))     # closed by event-time timeout
     # u1's session 1 (the 12:00 event) closed by timeout too (wm 15:00)
     assert rows.get((1, 1), (1, us(120), us(120)))[0] == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the session fold."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state empty")
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_set = ts
+
+
+def _run_fold(gap_us, ts_list, state):
+    import pandas as pd
+
+    from semtools_spark.streaming.sessions import _session_fn
+
+    fn = _session_fn(gap_us)
+    out = list(fn((7,), iter([pd.DataFrame({"ts_us": ts_list})]), state))
+    rows = []
+    for pdf in out:
+        rows.extend(
+            tuple(r)
+            for r in pdf[
+                ["user_id", "session_id", "n_events", "start_us", "end_us"]
+            ].itertuples(index=False)
+        )
+    return rows
+
+
+def test_session_fold_ordered_matches_batch_contract():
+    """On-time (nondecreasing) arrivals: identical behavior to the batch
+    gaps-and-islands — closed sessions emitted in order, last stays open."""
+    gap = 100
+    st = _FakeState()
+    rows = _run_fold(gap, [0, 10, 20, 500, 510, 2000], st)
+    assert rows == [(7, 0, 3, 0, 20), (7, 1, 2, 500, 510)]
+    assert st.get == (2, 1, 2000, 2000)  # open session in state
+
+
+def test_session_fold_late_event_does_not_regress_open_session():
+    """A within-watermark late event inside the open session's interval
+    (or within gap of it) merges — end never regresses, start only
+    widens; no spurious split on the next event."""
+    gap = 100
+    st = _FakeState(value=(3, 5, 1000, 2000))
+    # late event at 1500 (inside interval), late at 950 (within gap of
+    # start), on-time at 2050 (within gap of end)
+    rows = _run_fold(gap, [950, 1500, 2050], st)
+    assert rows == []  # everything merged, nothing closed
+    sid, n, start, end = st.get
+    assert (sid, n, start, end) == (3, 8, 950, 2050)
+    # a follow-up event within gap of the (non-regressed) end must NOT split
+    rows2 = _run_fold(gap, [2100], st)
+    assert rows2 == []
+    assert st.get == (3, 9, 950, 2100)
+
+
+def test_session_fold_late_isolated_island_emitted():
+    """A late island > gap before the open session is emitted immediately
+    as its own closed session; the open session keeps a later sid and its
+    bounds are untouched."""
+    gap = 100
+    st = _FakeState(value=(2, 4, 10_000, 12_000))
+    rows = _run_fold(gap, [500, 550], st)
+    assert rows == [(7, 2, 2, 500, 550)]
+    assert st.get == (3, 4, 10_000, 12_000)
+
+
+def test_session_fold_timeout_emits_open_session():
+    st = _FakeState(value=(1, 3, 100, 200), timed_out=True)
+    rows = _run_fold(100, [], st)
+    assert rows == [(7, 1, 3, 100, 200)]
+    assert st.removed
