@@ -93,6 +93,30 @@ def read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def listing(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Sorted [(relative_path, size_bytes)] of every non-hidden file under
+    ``path``, recursively — the input-fingerprint unit (works on any
+    Hadoop filesystem; empty if the path does not exist)."""
+    fs, root = fs_and_path(spark, path)
+    if not fs.exists(root):
+        return []
+    out: list[tuple[str, int]] = []
+
+    def walk(p, prefix: str) -> None:
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            rel = f"{prefix}{name}"
+            if st.isDirectory():
+                walk(st.getPath(), rel + "/")
+            else:
+                out.append((rel, int(st.getLen())))
+
+    walk(root, "")
+    return sorted(out)
+
+
 def parquet_lineage(spark: SparkSession, path: str) -> list[dict]:
     """Per-file (file, rows, bytes) lineage for a parquet directory, read
     from parquet footers via the JVM-side ParquetFileReader — works on any

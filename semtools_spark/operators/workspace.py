@@ -22,17 +22,24 @@ anti-join ∪ updates with an atomic directory swap, which preserves the
 idempotent-upsert semantics the reference gets from content-derived ids).
 At cluster scale the same code targets Iceberg `MERGE INTO` — the join
 shape is identical.
+
+Every table/config path goes through the Hadoop FS API
+(:mod:`semtools_spark.fs`) of the session's Hadoop conf — the same code
+runs against file://, hdfs://, or an object-store connector; no
+``os.path``/``os.rename`` on table paths (the directory swap is atomic on
+HDFS/local; see fs.py for the object-store caveat — there, front the
+tables with Iceberg MERGE INTO).
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from semtools_spark import fs as hfs
 from semtools_spark.embedding import DEFAULT_SEED, embed_udf
 from semtools_spark.operators.search import split_lines
 
@@ -92,7 +99,7 @@ def merge_upsert(
     result = kept ∪ updates, written with an atomic directory swap.
     Idempotent: re-running with identical updates yields the same table
     (the reference gets this from FNV-1a content ids, store.rs:972-975)."""
-    if os.path.isdir(table_path):
+    if hfs.exists(spark, table_path):
         target = spark.read.parquet(table_path)
         kept = target.join(
             updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
@@ -108,7 +115,7 @@ def delete_keys(
 ) -> int:
     """W7: DELETE FROM table WHERE keys IN (...) via anti-join rewrite.
     Returns rows deleted."""
-    if not os.path.isdir(table_path):
+    if not hfs.exists(spark, table_path):
         return 0
     target = spark.read.parquet(table_path)
     before = target.count()
@@ -119,16 +126,26 @@ def delete_keys(
 
 
 def _atomic_overwrite(df: DataFrame, table_path: str) -> None:
-    """Write-then-swap so readers never see a half-written table and a
-    killed job leaves the old snapshot intact (the resume unit)."""
+    """Write-then-swap via FS rename so readers never see a half-written
+    table and a killed job leaves the old snapshot intact (the resume
+    unit). Runs on any Hadoop filesystem; rename is atomic on HDFS and
+    local FS (object stores: see fs.py caveat)."""
+    spark = df.sparkSession
     tmp = f"{table_path}.__tmp_{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{table_path}.__old_{uuid.uuid4().hex}"
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+    had_prior = hfs.exists(spark, table_path)
+    if had_prior and not hfs.rename(spark, table_path, old):
+        hfs.delete(spark, tmp)
+        raise IOError(f"atomic overwrite: could not move {table_path} aside")
+    if not hfs.rename(spark, tmp, table_path):
+        # roll the old snapshot back so the table stays readable
+        if had_prior:
+            hfs.rename(spark, old, table_path)
+        hfs.delete(spark, tmp)
+        raise IOError(f"atomic overwrite: could not commit {tmp} -> {table_path}")
+    if had_prior:
+        hfs.delete(spark, old)
 
 
 class Workspace:
@@ -154,8 +171,8 @@ class Workspace:
         seed: int | None = None,
     ):
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.root = root.rstrip("/")
+        hfs.mkdirs(spark, self.root)
         cfg = self._load_config()
         if cfg is not None:
             for name, want in (("dim", dim), ("seed", seed)):
@@ -191,47 +208,48 @@ class Workspace:
         return cls(spark, os.path.join(base, name), **kwargs)
 
     def _config_path(self) -> str:
-        return os.path.join(self.root, self.CONFIG_FILE)
+        return f"{self.root}/{self.CONFIG_FILE}"
 
     def _load_config(self) -> dict | None:
         import json
 
-        path = self._config_path()
-        if not os.path.isfile(path):
-            return None
-        with open(path, encoding="utf-8") as f:
-            return json.load(f)
+        text = hfs.read_text(self.spark, self._config_path())
+        return None if text is None else json.loads(text)
 
     def _save_config(self) -> None:
         import json
 
-        tmp = self._config_path() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(
+        tmp = self._config_path() + f".tmp_{uuid.uuid4().hex}"
+        hfs.write_text(
+            self.spark,
+            tmp,
+            json.dumps(
                 {
                     "dim": self.dim,
                     "seed": self.seed,
                     "_version": CURRENT_EMBEDDING_VERSION,
-                },
-                f,
-            )
-        os.replace(tmp, self._config_path())
+                }
+            ),
+        )
+        hfs.delete(self.spark, self._config_path())
+        if not hfs.rename(self.spark, tmp, self._config_path()):
+            raise IOError(f"could not commit workspace config at {self._config_path()}")
 
     @property
     def manifest_path(self) -> str:
-        return os.path.join(self.root, "doc_manifest.parquet")
+        return f"{self.root}/doc_manifest.parquet"
 
     @property
     def lines_path(self) -> str:
-        return os.path.join(self.root, "line_embeddings.parquet")
+        return f"{self.root}/line_embeddings.parquet"
 
     def manifest(self) -> DataFrame | None:
-        if not os.path.isdir(self.manifest_path):
+        if not hfs.exists(self.spark, self.manifest_path):
             return None
         return self.spark.read.parquet(self.manifest_path)
 
     def lines(self) -> DataFrame | None:
-        if not os.path.isdir(self.lines_path):
+        if not hfs.exists(self.spark, self.lines_path):
             return None
         return self.spark.read.parquet(self.lines_path)
 
@@ -338,9 +356,17 @@ class Workspace:
         return out.orderBy("distance", "doc", "match_line")
 
     # ---- W7/W8: delete & prune -----------------------------------------
-    def delete(self, doc_ids: list) -> dict[str, int]:
-        """W7 cascade delete: manifest row + all line embeddings."""
-        keys = self.spark.createDataFrame([(d,) for d in doc_ids], "doc long")
+    def delete(self, doc_ids: list | DataFrame, id_col: str = "doc") -> dict[str, int]:
+        """W7 cascade delete: manifest row + all line embeddings.
+
+        Accepts a small driver-side list (CLI parity — the reference takes
+        ids on the command line, cmds/workspace.rs) OR a DataFrame of keys
+        for distributed callers — never collect a big id set just to pass
+        it here."""
+        if isinstance(doc_ids, DataFrame):
+            keys = doc_ids.select(F.col(id_col).alias("doc"))
+        else:
+            keys = self.spark.createDataFrame([(d,) for d in doc_ids], "doc long")
         return {
             "docs": delete_keys(self.spark, self.manifest_path, keys, ("doc",)),
             "lines": delete_keys(self.spark, self.lines_path, keys, ("doc",)),

@@ -35,33 +35,25 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from semtools_spark import fs as hfs
 from semtools_spark.operators import kg
 from semtools_spark.operators.parse import parse_pages
 
 STAGES = ("parse", "triples", "link", "canon", "graph")
 
 
-def _dir_listing(path: str) -> list[tuple[str, int]]:
-    out = []
-    for root, _dirs, files in os.walk(path):
-        for f in sorted(files):
-            if f.startswith(("_", ".")):
-                continue
-            p = os.path.join(root, f)
-            out.append((os.path.relpath(p, path), os.stat(p).st_size))
-    return sorted(out)
-
-
-def fingerprint(input_paths: list[str], params: dict) -> str:
-    """md5 over input parquet listings (name, size) + stage params."""
+def fingerprint(spark: SparkSession, input_paths: list[str], params: dict) -> str:
+    """md5 over input parquet listings (name, size) + stage params —
+    listed through the Hadoop FS API so the resume contract holds on any
+    cluster filesystem, not just the driver's local disk."""
     payload = {
-        "inputs": {p: _dir_listing(p) for p in input_paths},
+        "inputs": {p: hfs.listing(spark, p) for p in input_paths},
         "params": params,
     }
     return hashlib.md5(
@@ -69,33 +61,22 @@ def fingerprint(input_paths: list[str], params: dict) -> str:
     ).hexdigest()
 
 
-def _parquet_lineage(path: str) -> list[dict]:
-    """Per-output-partition lineage from parquet footers — no Spark job."""
-    import pyarrow.parquet as pq
-
-    lineage = []
-    for rel, size in _dir_listing(path):
-        if not rel.endswith(".parquet"):
-            continue
-        full = os.path.join(path, rel)
-        lineage.append(
-            {"file": rel, "rows": pq.read_metadata(full).num_rows, "bytes": size}
-        )
-    return lineage
-
-
 class CheckpointManifest:
-    """Append-only jsonl commit log; the append IS the commit point."""
+    """jsonl commit log; commits become visible via an atomic
+    write-tmp-then-rename of the whole (small) file — FS append is not
+    available on every Hadoop filesystem, and the rename IS the commit
+    point exactly as the old local fsync-append was."""
 
-    def __init__(self, root: str):
-        os.makedirs(root, exist_ok=True)
-        self.path = os.path.join(root, "_manifest.jsonl")
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        hfs.mkdirs(spark, root)
+        self.path = f"{root.rstrip('/')}/_manifest.jsonl"
 
     def entries(self) -> list[dict]:
-        if not os.path.exists(self.path):
+        text = hfs.read_text(self.spark, self.path)
+        if text is None:
             return []
-        with open(self.path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
 
     def committed(self, stage: str, fp: str) -> dict | None:
         for e in reversed(self.entries()):
@@ -104,11 +85,13 @@ class CheckpointManifest:
         return None
 
     def commit(self, record: dict) -> None:
-        line = json.dumps(record, sort_keys=True)
-        with open(self.path, "a") as f:
-            f.write(line + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        text = hfs.read_text(self.spark, self.path) or ""
+        text += json.dumps(record, sort_keys=True) + "\n"
+        tmp = f"{self.path}.tmp_{uuid.uuid4().hex}"
+        hfs.write_text(self.spark, tmp, text)
+        hfs.delete(self.spark, self.path)
+        if not hfs.rename(self.spark, tmp, self.path):
+            raise IOError(f"could not commit manifest at {self.path}")
 
 
 class StageFailure(RuntimeError):
@@ -130,26 +113,46 @@ def run_webkg_pipeline(
     """Run (or resume) the full pipeline. Returns per-stage metrics plus
     the output paths. ``fail_after='triples'`` raises StageFailure right
     after that stage's commit — the kill point for resume tests."""
-    os.makedirs(out_dir, exist_ok=True)
-    manifest = CheckpointManifest(out_dir)
+    hfs.mkdirs(spark, out_dir)
+    manifest = CheckpointManifest(spark, out_dir)
     params = {"dim": dim, "seed": seed, "max_link_distance": max_link_distance}
-    paths = {s: os.path.join(out_dir, f"{s}.parquet") for s in STAGES}
+    paths = {s: f"{out_dir.rstrip('/')}/{s}.parquet" for s in STAGES}
     report: dict[str, dict] = {}
 
     def run_stage(name: str, input_paths: list[str], build) -> None:
-        fp = fingerprint(input_paths, {**params, "stage": name})
+        fp = fingerprint(spark, input_paths, {**params, "stage": name})
         prior = manifest.committed(name, fp)
-        if prior is not None and os.path.isdir(paths[name]) and not force:
+        if prior is not None and hfs.exists(spark, paths[name]) and not force:
             # trust the commit only if the output still matches its
             # committed per-partition lineage — a partially deleted or
             # corrupted stage output must re-run, not feed downstream
-            if _parquet_lineage(paths[name]) == prior["partitions"]:
+            if hfs.parquet_lineage(spark, paths[name]) == prior["partitions"]:
                 report[name] = {"skipped": True, "rows": prior["rows"]}
                 return
         t0 = time.time()
-        df: DataFrame = build()
-        df.write.mode("overwrite").parquet(paths[name])
-        lineage = _parquet_lineage(paths[name])
+        # P5 attempt lineage (reference parse/client.rs:149-205 bounds and
+        # records retries): Spark's task-retry machinery owns the retrying
+        # (bounded by spark.task.maxFailures); the manifest records how
+        # many task attempts the stage actually spent, via a job group +
+        # the status tracker.
+        sc = spark.sparkContext
+        group = f"semtools-stage-{name}-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, f"webkg stage {name}")
+        try:
+            df: DataFrame = build()
+            df.write.mode("overwrite").parquet(paths[name])
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        tracker = sc.statusTracker()
+        tasks_ok = task_failures = 0
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            for sid in info.stageIds if info else ():
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo is not None:
+                    tasks_ok += sinfo.numCompletedTasks
+                    task_failures += sinfo.numFailedTasks
+        lineage = hfs.parquet_lineage(spark, paths[name])
         record = {
             "stage": name,
             "fingerprint": fp,
@@ -157,6 +160,12 @@ def run_webkg_pipeline(
             "rows": sum(p["rows"] for p in lineage),
             "bytes": sum(p["bytes"] for p in lineage),
             "partitions": lineage,
+            "attempts": {
+                "tasks_succeeded": tasks_ok,
+                "task_failures": task_failures,
+                "task_attempts": tasks_ok + task_failures,
+                "max_task_failures": int(sc.getConf().get("spark.task.maxFailures", "4")),
+            },
             "committed_at": time.time(),
         }
         manifest.commit(record)

@@ -176,3 +176,20 @@ def test_pipeline_corrupted_stage_output_reruns(spark, pages_path, tmp_path):
     a = spark.read.parquet(report["paths"]["graph"])
     b = spark.read.parquet(clean_report["paths"]["graph"])
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_manifest_records_task_attempt_lineage(spark, pages_path, tmp_path):
+    """P5 observability: every committed stage record carries task-attempt
+    counts (succeeded/failed/attempts + the retry bound) alongside the
+    per-partition (file, rows, bytes) lineage."""
+    out = str(tmp_path / "kg_attempts")
+    run_webkg_pipeline(spark, pages_path, out)
+    with open(os.path.join(out, "_manifest.jsonl")) as f:
+        entries = [json.loads(line) for line in f if line.strip()]
+    assert {e["stage"] for e in entries} == {"parse", "triples", "link", "canon", "graph"}
+    for e in entries:
+        a = e["attempts"]
+        assert a["tasks_succeeded"] > 0, e["stage"]
+        assert a["task_attempts"] == a["tasks_succeeded"] + a["task_failures"]
+        assert a["max_task_failures"] >= 1
+        assert e["partitions"], e["stage"]
