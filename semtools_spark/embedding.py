@@ -86,14 +86,21 @@ class HashEmbedder:
         along the contiguous axis (verified bit-identical to the sequential
         float64 accumulation of float32 token vectors this replaces, so
         golden fixtures are unchanged; 4× at dim=64, 1.4× at dim=256).
-        Per-token Python work is now only tokenize + vocab-dict lookup; the
-        only per-row loop left is the final ``np.linalg.norm`` (BLAS ddot —
-        vectorized axis-reductions are NOT bit-identical to it, measured)."""
+
+        NO per-token Python frames: vocab lookup is ``map(dict.get, …)``
+        drained by ``np.fromiter`` — both C loops — with a per-UNIQUE-token
+        miss path that only runs while the vocab is still warming up
+        (token vectors depend solely on the token, not insertion order, so
+        this is bit-identical to the per-token path it replaces). The
+        normalization is one batched ``einsum`` row-dot + sqrt (verified
+        bit-identical to the per-row BLAS-ddot loop it replaces over 30k
+        mixed real+synthetic texts at dim 64 and 256; note
+        ``np.linalg.norm(axis=1)`` is NOT — it reduces pairwise). The only
+        per-ROW Python left is ``str.split``."""
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         rows: list[int] = []
         counts: list[int] = []
-        flat: list[int] = []
-        col = self._col
+        flat_tokens: list[str] = []
         for i, text in enumerate(texts):
             if not text:
                 continue
@@ -103,12 +110,28 @@ class HashEmbedder:
             if not tokens:
                 continue
             del tokens[MAX_TOKENS:]
-            flat.extend(map(col, tokens))
+            flat_tokens.extend(tokens)
             rows.append(i)
             counts.append(len(tokens))
         if not rows:
             return out
-        idx = np.asarray(flat, dtype=np.int64)
+        import itertools
+
+        idx = np.fromiter(
+            map(self._index.get, flat_tokens, itertools.repeat(-1)),
+            dtype=np.int64,
+            count=len(flat_tokens),
+        )
+        miss = np.flatnonzero(idx < 0)
+        if miss.size:
+            # new tokens: generate vectors once per UNIQUE token, then
+            # re-resolve just the missing positions (C-level again)
+            miss_toks = [flat_tokens[j] for j in miss.tolist()]
+            for t in set(miss_toks):
+                self._col(t)
+            idx[miss] = np.fromiter(
+                map(self._index.get, miss_toks), dtype=np.int64, count=miss.size
+            )
         n_tok = np.asarray(counts, dtype=np.int64)
         seg_start = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(n_tok[:-1], out=seg_start[1:])
@@ -129,10 +152,9 @@ class HashEmbedder:
             means[s:e] = np.add.reduceat(g, seg_start[s:e] - base, axis=1).T
             s = e
         means /= n_tok[:, None]
-        for j in range(n_seg):
-            norm = float(np.linalg.norm(means[j]))
-            if norm > 0.0:
-                means[j] /= norm
+        norms = np.sqrt(np.einsum("ij,ij->i", means, means))
+        norms[norms == 0.0] = 1.0
+        means /= norms[:, None]
         out[rows] = means.astype(np.float32)
         return out
 

@@ -161,40 +161,27 @@ def build_entity_catalog(
     return spark.createDataFrame(rows, schema)
 
 
-def link_entities(
-    mentions: DataFrame,
-    catalog: DataFrame,
-    *,
-    mention_col: str = "mention",
-    dim: int = 64,
-    seed: int = DEFAULT_SEED,
-    max_distance: float | None = None,
-) -> DataFrame:
-    """Cosine top-1 link of each distinct mention surface form against the
-    catalog. The catalog matrix rides inside the pandas UDF closure
-    (task-broadcast); per Arrow batch this is ONE matmul + argmin — the
-    M-query generalization of the reference's brute-force scan.
+LINK_OUT_T = T.StructType(
+    [
+        T.StructField("entity_id", T.LongType()),
+        T.StructField("link_distance", T.DoubleType()),
+    ]
+)
 
-    Returns (mention, entity_id, link_distance). Distinct mentions are
-    linked once, then the (small) mapping can be broadcast-joined back to
-    the full mention stream by the caller.
-    """
-    pdf = catalog.select("entity_id", "embedding").toPandas()
-    ids = np.asarray(pdf["entity_id"], dtype=np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = (mat / norms[:, None]).astype(np.float32)
 
-    out_t = T.StructType(
-        [
-            T.StructField("entity_id", T.LongType()),
-            T.StructField("link_distance", T.DoubleType()),
-        ]
-    )
+def _make_link_udf(bc, dim: int, seed: int):
+    """Pandas UDF scoring mention batches against the BROADCAST catalog.
 
-    @F.pandas_udf(out_t)
+    The closure captures ONLY the lightweight Broadcast handle (plus dim/
+    seed scalars): the (ids, matrix) payload ships once per executor via
+    the torrent broadcast, not once per task in the pickled closure (a
+    10^6-entity × 256-float catalog is ~1 GB — per-task closure capture
+    would serialize it into every task binary). Reference ANN analog:
+    workspace store.rs:481-546."""
+
+    @F.pandas_udf(LINK_OUT_T)
     def _link(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        ids, matn = bc.value
         embedder = HashEmbedder(dim=dim, seed=seed)
         for s in batches:
             q = embedder.embed_texts(s.fillna("").tolist())  # (n, dim), normalized
@@ -203,13 +190,120 @@ def link_entities(
             dist = 1.0 - sims[np.arange(len(s)), best].astype(np.float64)
             yield pd.DataFrame({"entity_id": ids[best], "link_distance": dist})
 
-    linked = mentions.select(F.col(mention_col).alias("mention")).distinct()
-    linked = linked.withColumn("__l", _link(F.col("mention"))).select(
-        "mention", F.col("__l.entity_id"), F.col("__l.link_distance")
-    )
+    return _link
+
+
+def link_entities(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    *,
+    mention_col: str = "mention",
+    dim: int = 64,
+    seed: int = DEFAULT_SEED,
+    max_distance: float | None = None,
+    use_lsh_above: int | None = None,
+) -> DataFrame:
+    """Cosine top-1 link of each distinct mention surface form against the
+    catalog — the M-query generalization of the reference's brute-force
+    scan (search/mod.rs:77-120), per Arrow batch ONE matmul + argmin.
+
+    Two physical strategies:
+
+    * **broadcast** (default): the L2-normalized catalog matrix ships to
+      executors via ``SparkContext.broadcast`` — once per executor, never
+      per task — and each batch scores against all of it. Exact; right
+      while the catalog fits executor memory (≲1 GB).
+    * **LSH-bucketed** (``use_lsh_above=n``: engaged when the catalog
+      exceeds n rows): mentions and catalog are embedded, signed into
+      integer hyperplane buckets (similarity.int_hyperplane_signature),
+      candidates joined WITHIN bucket with exact cosine re-rank — the
+      shuffle key is the bucket, never all-pairs. Mentions whose bucket
+      holds no catalog entry fall back to an exact distributed
+      cross-score (few rows × catalog, windowed top-1) so every mention
+      still links. Exact surface-form matches always collide (identical
+      vector ⇒ identical signature).
+
+    Returns (mention, entity_id, link_distance). Distinct mentions are
+    linked once, then the (small) mapping can be broadcast-joined back to
+    the full mention stream by the caller.
+    """
+    spark = mentions.sparkSession
+    distinct_m = mentions.select(F.col(mention_col).alias("mention")).distinct()
+
+    if use_lsh_above is not None and catalog.count() > use_lsh_above:
+        linked = _link_entities_lsh(distinct_m, catalog, dim=dim, seed=seed)
+    else:
+        pdf = catalog.select("entity_id", "embedding").toPandas()
+        ids = np.asarray(pdf["entity_id"], dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = (mat / norms[:, None]).astype(np.float32)
+        bc = spark.sparkContext.broadcast((ids, matn))
+        _link = _make_link_udf(bc, dim, seed)
+        linked = distinct_m.withColumn("__l", _link(F.col("mention"))).select(
+            "mention", F.col("__l.entity_id"), F.col("__l.link_distance")
+        )
     if max_distance is not None:
         linked = linked.filter(F.col("link_distance") < float(max_distance))
     return linked
+
+
+def _link_entities_lsh(
+    distinct_m: DataFrame,
+    catalog: DataFrame,
+    *,
+    dim: int,
+    seed: int,
+    n_planes: int = 8,
+) -> DataFrame:
+    """LSH-bucketed linking for catalogs too big to broadcast: candidates
+    share an integer hyperplane bucket (map-only signatures, one shuffle
+    on the bucket key), exact cosine re-rank within bucket; bucket-miss
+    mentions get an exact distributed cross-score. All JVM-side after the
+    mention embed."""
+    from semtools_spark.embedding import embed_udf
+    from semtools_spark.functions.vectors import cosine_distance_expr
+    from semtools_spark.operators.similarity import int_hyperplane_signature
+    from pyspark.sql import Window
+
+    m_emb = distinct_m.withColumn("embedding", embed_udf(dim=dim, seed=seed)(F.col("mention")))
+    m_sig = int_hyperplane_signature(m_emb, n_planes=n_planes, dim=dim, seed=seed)
+    c_sig = int_hyperplane_signature(
+        catalog.select("entity_id", "embedding"), n_planes=n_planes, dim=dim, seed=seed
+    )
+    cand = (
+        m_sig.alias("m")
+        .join(c_sig.alias("c"), F.col("m.lsh_bucket") == F.col("c.lsh_bucket"))
+        .select(
+            F.col("m.mention").alias("mention"),
+            F.col("c.entity_id").alias("entity_id"),
+            cosine_distance_expr("m.embedding", "c.embedding").alias("link_distance"),
+        )
+    )
+    w = Window.partitionBy("mention").orderBy("link_distance", "entity_id")
+    top1 = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    # bucket misses: exact distributed cross-score (few mentions × catalog)
+    missed = m_sig.join(top1.select("mention"), "mention", "left_anti").select(
+        "mention", "embedding"
+    )
+    rescue = (
+        missed.alias("m")
+        .crossJoin(catalog.select("entity_id", "embedding").alias("c"))
+        .select(
+            F.col("m.mention").alias("mention"),
+            F.col("c.entity_id").alias("entity_id"),
+            cosine_distance_expr("m.embedding", "c.embedding").alias("link_distance"),
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    return top1.unionByName(rescue)
 
 
 def _latest_cc_round(spark: SparkSession, checkpoint_dir: str) -> int:

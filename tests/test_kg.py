@@ -297,3 +297,43 @@ def test_cc_non_numeric_ids_raise(spark):
     )
     with pytest.raises(Exception, match="BIGINT"):
         kg.connected_components(df, small_graph_threshold=0).collect()
+
+
+def test_link_entities_lsh_path(spark):
+    """The LSH-bucketed linking path (catalog above the broadcast
+    threshold): exact surface-form mentions always collide with their
+    catalog twin (identical vector => identical signature) and link at
+    distance ~0; a nonsense mention still links via the bucket-miss
+    rescue (every mention gets a top-1)."""
+    names = [f"entity{i}" for i in range(40)] + ["spark", "table", "row"]
+    catalog = kg.build_entity_catalog(spark, names, dim=64)
+    mentions = spark.createDataFrame(
+        [("spark",), ("table",), ("row",), ("zzqqxy",)], ["mention"]
+    )
+    got = {r.mention: (r.entity_id, r.link_distance) for r in
+           kg.link_entities(mentions, catalog, dim=64, use_lsh_above=10).collect()}
+    assert set(got) == {"spark", "table", "row", "zzqqxy"}
+    assert got["spark"][0] == names.index("spark") and got["spark"][1] < 1e-6
+    assert got["table"][0] == names.index("table") and got["table"][1] < 1e-6
+    assert got["row"][0] == names.index("row") and got["row"][1] < 1e-6
+    # broadcast path agrees on the exact-match mentions
+    brute = {r.mention: r.entity_id for r in
+             kg.link_entities(mentions, catalog, dim=64).collect()}
+    for m in ("spark", "table", "row"):
+        assert brute[m] == got[m][0]
+
+
+def test_link_udf_closure_holds_no_matrix(spark):
+    """The scoring UDF's closure must capture only the Broadcast handle —
+    NOT the catalog ndarray (closure capture would serialize the matrix
+    into every task binary instead of once per executor)."""
+    import numpy as np
+
+    ids = np.arange(3, dtype=np.int64)
+    matn = np.eye(3, 64, dtype=np.float32)
+    bc = spark.sparkContext.broadcast((ids, matn))
+    udf_obj = kg._make_link_udf(bc, 64, 42)
+    fn = udf_obj.func
+    captured = [c.cell_contents for c in (fn.__closure__ or ())]
+    assert not any(isinstance(c, np.ndarray) for c in captured)
+    assert any(type(c).__name__ == "Broadcast" for c in captured)
