@@ -254,6 +254,115 @@ def _q_grep_chunks(spark, sf_dir):
     return format_grep_chunks(g).select("doc", "match_line", "chunk")
 
 
+def _q_a5_read_range(spark, sf_dir):
+    """A5 read tool: clamped line-range slice of one assembled file
+    (reference ask/tools.rs:323-341). Pure-SQL oracle over the same
+    assembled files."""
+    from semtools_spark.operators.search import read_range
+
+    return read_range(_source_docs(spark, sf_dir), "src3", 5, 12,
+                      id_col="doc_id", text_col="text")
+
+
+def _q_a4_agent_search(spark, sf_dir):
+    """A4 agent search tool END-TO-END through the workspace store: sync
+    the assembled files into a fresh workspace (embed + MERGE), then
+    agent_search under the reference agent defaults (ask/tools.rs:109-128:
+    top_k 3, max_distance 0.5, n_lines 5 — threshold AND truncation BOTH
+    apply, unlike file-search S9's XOR). Oracled by an independent
+    pure-Python reference run emitted as VALUES."""
+    import tempfile
+
+    from semtools_spark.operators.workspace import Workspace
+
+    ws = Workspace(spark, tempfile.mkdtemp(prefix="a4_ws_"), dim=DIM)
+    ws.sync(_source_docs(spark, sf_dir), id_col="doc_id")
+    res = ws.agent_search(QUERY_TEXT)
+    return res.select(
+        "doc", "start", "end", "match_line",
+        F.floor(F.col("distance") * 1000000).cast("long").alias("dist_micro"),
+        "content",
+    )
+
+
+def _agent_search_oracle_sql(
+    top_k: int = 3, n_lines: int = 5, max_distance: float = 0.5, dim: int = DIM
+) -> str:
+    """Single-node pure-Python reference run of the A4 agent search over
+    the assembled source files, emitted as VALUES. Shares only the leaf
+    HashEmbedder with the engine; the workspace scoring path
+    (cosine_distance_expr: sequential float64 fold over the stored
+    float32 vectors) is re-derived here independently with an explicit
+    Python left fold, so the floor(1e6·d) integerization matches the JVM
+    expression bit-for-bit."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    by_source: dict[str, list[tuple[int, str]]] = {}
+    for doc_id, text, source in sorted(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist(),
+            t.column("source").to_pylist())
+    ):
+        by_source.setdefault(source, []).append((doc_id, text))
+    files = {s: [x[1] for x in rows] for s, rows in by_source.items()}
+
+    emb = HashEmbedder(dim=dim)
+    entries = [(s, i) for s, lines in sorted(files.items()) for i in range(len(lines))]
+    if len(entries) > 200_000:
+        raise RuntimeError(
+            f"a4 oracle build would embed {len(entries)} lines on the driver; "
+            "refusing (oracle-build scale guard — set SPARK_GRAFT_ORACLE_SF "
+            "to a small scale factor)"
+        )
+    mat = emb.embed_texts([files[s][i] for s, i in entries])  # float32 rows
+    qvec = emb.embed_one(QUERY_TEXT)
+
+    def fold_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            acc += x * y
+        return acc
+
+    qn = math.sqrt(fold_dot(qvec, qvec))
+    scored = []
+    for (s, i), v in zip(entries, mat):
+        den = math.sqrt(fold_dot(v, v)) * qn
+        dist = 1.0 - fold_dot(v, qvec) / den if den > 0 else 1.0
+        scored.append((dist, s, i))
+    scored.sort()
+    top = [x for x in scored if x[0] < max_distance][:top_k]
+
+    rows = []
+    for dist, s, line_no in top:
+        lines = files[s]
+        start = max(0, line_no - n_lines)
+        end = min(len(lines), line_no + n_lines + 1)
+        content = "\n".join(lines[start:end]).replace("'", "''")
+        rows.append(
+            f"('{s}', CAST({start} AS INTEGER), CAST({end} AS INTEGER), "
+            f"CAST({line_no} AS INTEGER), CAST({math.floor(dist * 1000000)} AS BIGINT), "
+            f"'{content}')"
+        )
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS doc, CAST(NULL AS INTEGER) AS start, "
+            'CAST(NULL AS INTEGER) AS "end", CAST(NULL AS INTEGER) AS match_line, '
+            "CAST(NULL AS BIGINT) AS dist_micro, CAST(NULL AS VARCHAR) AS content "
+            "WHERE 1 = 0"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(doc, start, "end", match_line, dist_micro, content)'
+    )
+
+
 def _q_w1_states(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 11 != 0).select(
@@ -468,6 +577,12 @@ def _flagship_search_oracle_sql(
         lines = text.split("\n")
         per_doc[doc_id] = lines
         entries.extend((doc_id, i) for i in range(len(lines)))
+    if len(entries) > 200_000:
+        raise RuntimeError(
+            f"flagship oracle build would embed {len(entries)} lines on the "
+            "driver; refusing (oracle-build scale guard — set "
+            "SPARK_GRAFT_ORACLE_SF to a small scale factor)"
+        )
     mat = emb.embed_texts([per_doc[d][i] for d, i in entries])
     dists = 1.0 - (mat @ q).astype(np.float64)
     scored = sorted(zip(dists.tolist(), (e[0] for e in entries), (e[1] for e in entries)))
@@ -536,8 +651,13 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_lsh_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs with the hot-bucket cap ENGAGED
+    (max_bucket_size=2 — non-vacuous at sf0.01: buckets of size 3 exist
+    and are dropped; the oracle mirrors the cap with a window-count
+    filter on the banded CTE)."""
     pairs = dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4,
+        max_bucket_size=2,
     )
     return pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
 
@@ -551,8 +671,11 @@ def _q_dedup_groups(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
+    """Blocked embedding near-dups with the oversized-block guard ENGAGED
+    (max_block_size=55 — non-vacuous at sf0.01: label 3 holds 59 vectors
+    and is dropped; the oracle mirrors via a per-label HAVING filter)."""
     pairs = dedup.embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), max_distance=0.72
+        _t(spark, sf_dir, "embeddings"), max_distance=0.72, max_block_size=55
     )
     return pairs.select(F.col("a").cast("long"), F.col("b").cast("long"), "dist_micro")
 
@@ -728,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_sort_limit": _q_sort_limit,
         "a3_grep": _q_grep,
         "a3_grep_ctx": _q_grep_ctx,
+        "a4_agent_search": _q_a4_agent_search,
+        "a5_read_range": _q_a5_read_range,
         "a7_grep_chunks": _q_grep_chunks,
         "w1_incremental_states": _q_w1_states,
         "w2_semi_join": _q_w2_semi_join,
@@ -787,10 +912,21 @@ def _ivf_probe_sql() -> str:
     return ", ".join(str(i) for i in probe)
 
 
-def _lsh_pairs_ctes() -> str:
+def _lsh_pairs_ctes(max_bucket_size: int | None = None) -> str:
     """CTE chain (sig, banded, pairs) for the banded-minhash candidate
-    pairs — shared by the dedup_lsh_pairs and dedup_groups oracles.
-    Assumes the shingle CTE (d) is already in scope."""
+    pairs — shared by the dedup_lsh_pairs (capped) and dedup_groups
+    oracles. Assumes the shingle CTE (d) is already in scope."""
+    if max_bucket_size is not None:
+        pair_src = (
+            f"bandedc AS (SELECT did, band, band_sig FROM ("
+            f"SELECT did, band, band_sig, "
+            f"count(*) OVER (PARTITION BY band, band_sig) AS bn FROM banded) "
+            f"WHERE bn <= {max_bucket_size}), "
+        )
+        src = "bandedc"
+    else:
+        pair_src = ""
+        src = "banded"
     return (
         "sig AS (SELECT CAST(doc_id AS BIGINT) AS did, "
         + ", ".join(minhash_sql_duckdb("sh", 8))
@@ -801,8 +937,8 @@ def _lsh_pairs_ctes() -> str:
             f"FROM sig WHERE mh{2*b} IS NOT NULL AND mh{2*b+1} IS NOT NULL"
             for b in range(4)
         )
-        + "), pairs AS (SELECT DISTINCT l.did AS a, r.did AS b FROM banded l "
-        "JOIN banded r ON l.band = r.band AND l.band_sig = r.band_sig "
+        + f"), {pair_src}pairs AS (SELECT DISTINCT l.did AS a, r.did AS b FROM {src} l "
+        f"JOIN {src} r ON l.band = r.band AND l.band_sig = r.band_sig "
         "AND l.did < r.did)"
     )
 
@@ -883,6 +1019,19 @@ def oracle_sql() -> dict[str, str]:
         "a3_grep_ctx": (
             f"{_GREP_CTX_ORACLE_CTE} "
             'SELECT doc, start, "end", match_line, line, content FROM res'
+        ),
+        "a4_agent_search": _agent_search_oracle_sql(),
+        "a5_read_range": (
+            "WITH d AS (SELECT source AS doc, "
+            "string_agg(text, chr(10) ORDER BY doc_id) AS text "
+            "FROM documents GROUP BY source), "
+            "l AS (SELECT doc, UNNEST(string_split(text, chr(10))) AS line, "
+            "UNNEST(range(0, len(string_split(text, chr(10))))) AS line_no FROM d) "
+            "SELECT doc, CAST(min(line_no) AS INTEGER) AS start, "
+            'CAST(max(line_no) + 1 AS INTEGER) AS "end", '
+            "string_agg(line, chr(10) ORDER BY line_no) AS content "
+            "FROM l WHERE doc = 'src3' AND line_no >= 5 AND line_no < 12 "
+            "GROUP BY doc"
         ),
         "a7_grep_chunks": (
             f"{_GREP_CTX_ORACLE_CTE} "
@@ -1001,7 +1150,8 @@ def oracle_sql() -> dict[str, str]:
             f"CAST({simhash_sql_duckdb(words, 16)} AS BIGINT) AS simhash FROM documents"
         ),
         "dedup_lsh_pairs": (
-            f"{shingle_cte}, {_lsh_pairs_ctes()} SELECT a, b FROM pairs"
+            f"{shingle_cte}, {_lsh_pairs_ctes(max_bucket_size=2)} "
+            "SELECT a, b FROM pairs"
         ),
         "dedup_groups": (
             # min-label transitive closure over the same candidate pairs:
@@ -1018,12 +1168,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM walk GROUP BY n"
         ),
         "dedup_embedding": (
+            # max_block_size=55 mirrored: labels over the cap are dropped
+            "WITH el AS (SELECT * FROM embeddings WHERE label IN ("
+            "SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 55)) "
             "SELECT a, b, dist_micro FROM ("
             "SELECT CAST(l.vec_id AS BIGINT) AS a, CAST(r.vec_id AS BIGINT) AS b, "
             "CAST(floor(("
             + cosine_distance_sql_duckdb("l.embedding", "r.embedding")
             + ") * 1000000) AS BIGINT) AS dist_micro "
-            "FROM embeddings l JOIN embeddings r "
+            "FROM el l JOIN el r "
             "ON l.label = r.label AND l.vec_id < r.vec_id) "
             "WHERE dist_micro < 720000"
         ),

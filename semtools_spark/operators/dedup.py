@@ -71,7 +71,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-signature in ≥1
     band. Shuffles on (band, signature-slice) — never all-pairs. Returns
@@ -130,7 +130,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
     shingle_n: int = 3,
     min_jaccard_micro: int = 1,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for every overlapping pair *within a block*.
 
@@ -225,7 +225,7 @@ def near_dup_groups(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: banded-LSH candidate pairs → connected
     components → (doc_id, group_id) with group_id = min doc id of the
@@ -268,7 +268,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     block_col: str = "label",
     max_distance: float = 0.1,
-    max_block_size: int | None = None,
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocks over a pre-embedded column,
     JVM-side (codegen) cosine. Returns (a, b, dist_micro).

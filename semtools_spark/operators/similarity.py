@@ -194,6 +194,51 @@ def ivf_centroids(n_centroids: int = 8, dim: int = 64, seed: int = 42) -> np.nda
     return mat / norms[:, None]
 
 
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_sample: int = 50_000,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical-kmeans codebook trained on a bounded driver-side sample:
+    assign by max dot against unit centroids, recompute means,
+    renormalize — Lloyd's on the cosine geometry the index queries with.
+    Initialized from the seeded codebook, so training is deterministic
+    given (data, seed) and degrades gracefully (an empty cluster keeps
+    its previous centroid).
+
+    The sample is capped at ``max_sample`` rows (one count job + one
+    bounded collect — the codebook is tiny; training is the only
+    driver-side step and is O(max_sample · n_centroids · dim) per iter).
+    At 100 TB the same trained array is passed to ivf_assign/ivf_topk as
+    ``centroids=``; only the assignment scan is distributed."""
+    n = emb.count()
+    fraction = min(1.0, max_sample / max(n, 1))
+    sample = (
+        emb.select(vec_col).sample(fraction=fraction, seed=seed).limit(max_sample)
+    ).toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    norms = np.linalg.norm(mat, axis=1)
+    keep = norms > 0
+    mat = mat[keep] / norms[keep, None]
+    cents = ivf_centroids(n_centroids, dim, seed).copy()
+    for _ in range(iters):
+        sims = mat @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members) == 0:
+                continue
+            m = members.mean(axis=0)
+            nm = np.linalg.norm(m)
+            if nm > 0:
+                cents[c] = m / nm
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -202,12 +247,17 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF list assignment: each vector → its nearest centroid (integer
     micro-unit cosine distance, ties to the lowest centroid id). Map-only
     JVM expressions; at scale the centroid id is the partition/cluster
-    key the inverted lists live under."""
-    cents = ivf_centroids(n_centroids, dim, seed)
+    key the inverted lists live under.
+
+    ``centroids`` overrides the seeded codebook (pass the output of
+    :func:`ivf_train_centroids`); the seeded default keeps the operator
+    reproducible anywhere with no model artifact."""
+    cents = ivf_centroids(n_centroids, dim, seed) if centroids is None else centroids
     # centroid literals spliced as SQL arrays: cosine_distance_expr takes
     # SQL expression strings, not Columns
     dists = F.array(
@@ -233,10 +283,11 @@ def ivf_probe_ids(
     n_centroids: int = 8,
     dim: int = 64,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> list[int]:
     """Driver-side coarse search: the nprobe centroid ids nearest the
     query (deterministic; shared verbatim by the oracle rendering)."""
-    cents = ivf_centroids(n_centroids, dim, seed)
+    cents = ivf_centroids(n_centroids, dim, seed) if centroids is None else centroids
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     q = q / qn if qn > 0 else q
@@ -254,14 +305,18 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: scan ONLY the nprobe nearest inverted lists
     (~nprobe/n_centroids of the corpus — with the assignment
     pre-materialized and partitioned by centroid_id, partition pruning
     makes this a fractional scan), exact cosine re-rank inside them.
-    Returns (id, centroid_id, dist_micro) ascending."""
-    probe = ivf_probe_ids(query_vec, nprobe, n_centroids, dim, seed)
-    assigned = ivf_assign(emb, n_centroids, dim, seed, id_col, vec_col)
+    Returns (id, centroid_id, dist_micro) ascending. ``centroids`` swaps
+    in a trained codebook (ivf_train_centroids)."""
+    probe = ivf_probe_ids(query_vec, nprobe, n_centroids, dim, seed, centroids)
+    assigned = ivf_assign(
+        emb, n_centroids, dim, seed, id_col, vec_col, centroids=centroids
+    )
     scored = (
         assigned.filter(F.col("centroid_id").isin(probe))
         .withColumn("__q", vector_literal(query_vec))

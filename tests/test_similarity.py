@@ -134,3 +134,38 @@ def test_lsh_signature_dim_mismatch_raises(spark):
     ):
         with pytest.raises(Exception, match="length"):
             op(df).collect()
+
+
+def test_ivf_trained_codebook_recall(spark, embeddings):
+    """A spherical-kmeans-trained codebook (ivf_train_centroids) must not
+    lose to the seeded-random one on mean recall@10 (both deterministic
+    on this data, so this pins the training as a real improvement)."""
+    import numpy as np
+
+    from semtools_spark.embedding import HashEmbedder
+    from semtools_spark.operators import similarity as S
+
+    trained = S.ivf_train_centroids(embeddings, n_centroids=8, dim=64)
+    assert trained.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(trained, axis=1), 1.0)
+
+    queries = [
+        "spark join vector", "window agg stream", "hash batch data",
+        "customer order line", "query group value",
+    ]
+    r_seed = r_train = 0.0
+    for q in queries:
+        qv = HashEmbedder(dim=64).embed_one(q)
+        truth = {r.vec_id for r in S.brute_force_topk(embeddings, qv, k=10).collect()}
+        seeded = {
+            r.vec_id for r in S.ivf_topk(embeddings, qv, k=10, nprobe=2, dim=64).collect()
+        }
+        tr = {
+            r.vec_id
+            for r in S.ivf_topk(
+                embeddings, qv, k=10, nprobe=2, dim=64, centroids=trained
+            ).collect()
+        }
+        r_seed += len(truth & seeded) / 10
+        r_train += len(truth & tr) / 10
+    assert r_train >= r_seed, (r_train, r_seed)
