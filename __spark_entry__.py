@@ -725,6 +725,55 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+IVF_TRAIN_SAMPLE = 2000  # deterministic sample bound shared with the oracle
+
+
+def _train_codebook_from_mat(mat) -> "list[list[float]]":
+    from semtools_spark.operators.similarity import ivf_train_centroids_np
+
+    return ivf_train_centroids_np(mat, n_centroids=8, dim=DIM)
+
+
+def _q_ann_ivf_trained(spark, sf_dir):
+    """IVF top-k with a TRAINED codebook: spherical kmeans on a
+    deterministic bounded sample (first IVF_TRAIN_SAMPLE vectors by
+    vec_id), then the same nprobe scan as ann_ivf_topk. The oracle
+    re-derives the identical codebook from the same sample read directly
+    from parquet — proving the trained path end-to-end, not just the
+    plumbing."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pdf = (
+        emb.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).select("embedding").toPandas()
+    )
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    cents = _train_codebook_from_mat(mat)
+    return similarity.ivf_topk(
+        emb, _query_vec(), k=10, nprobe=2, n_centroids=8, dim=DIM, centroids=cents
+    ).select(
+        F.col("vec_id").cast("long"), F.col("centroid_id").cast("int"), "dist_micro"
+    )
+
+
+def _oracle_trained_centroids():
+    """The oracle's copy of the trained codebook: identical sample
+    (first IVF_TRAIN_SAMPLE by vec_id) read via pyarrow from the oracle
+    corpus, identical numpy training — bit-identical centroids."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = sorted(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )[:IVF_TRAIN_SAMPLE]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return _train_codebook_from_mat(mat)
+
+
 def _utc(spark):
     # epoch extraction must agree with the (timezone-naive) DuckDB oracle;
     # pin the session TZ rather than assume the driver's session config
@@ -875,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_knn": _q_ann_lsh_knn,
         "ann_ivf_assign": _q_ann_ivf_assign,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "stream_windowed_stats": _q_stream_windowed,
@@ -891,10 +941,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 
-def _ivf_dists_sql() -> str:
-    """DuckDB list of integer micro-unit distances to each seeded IVF
-    centroid (same codebook as the Spark side)."""
-    cents = similarity.ivf_centroids(8, DIM)
+def _ivf_dists_sql(cents=None) -> str:
+    """DuckDB list of integer micro-unit distances to each IVF centroid
+    (seeded by default; pass a trained codebook for the trained gate —
+    the same float64 values are spliced as literals on both engines)."""
+    if cents is None:
+        cents = similarity.ivf_centroids(8, DIM)
     return "[" + ", ".join(
         "CAST(floor(("
         + cosine_distance_sql_duckdb(
@@ -905,10 +957,12 @@ def _ivf_dists_sql() -> str:
     ) + "]"
 
 
-def _ivf_probe_sql() -> str:
+def _ivf_probe_sql(cents=None) -> str:
     """The nprobe centroid ids nearest the shared query vector — computed
     by the same driver-side function the Spark query uses."""
-    probe = similarity.ivf_probe_ids(_query_vec(), nprobe=2, n_centroids=8, dim=DIM)
+    probe = similarity.ivf_probe_ids(
+        _query_vec(), nprobe=2, n_centroids=8, dim=DIM, centroids=cents
+    )
     return ", ".join(str(i) for i in probe)
 
 
@@ -1214,6 +1268,17 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE centroid_id IN ({_ivf_probe_sql()}) "
             f"ORDER BY dist_micro, vec_id LIMIT 10"
         ),
+        "ann_ivf_trained": (
+            lambda tc: (
+                f"SELECT vec_id, centroid_id, dist_micro FROM ("
+                f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+                f"CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS centroid_id, "
+                f"CAST(floor(({dist}) * 1000000) AS BIGINT) AS dist_micro "
+                f"FROM (SELECT vec_id, embedding, {_ivf_dists_sql(tc)} AS d FROM embeddings)) "
+                f"WHERE centroid_id IN ({_ivf_probe_sql(tc)}) "
+                f"ORDER BY dist_micro, vec_id LIMIT 10"
+            )
+        )(_oracle_trained_centroids()),
         "events_hourly": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
             "event_type, count(*) AS n, "

@@ -189,8 +189,11 @@ def grep(
     Returns (doc, start, end, match_line, line, content): one row per
     match with its clamped [start, end) context window — the reference's
     per-match ``<chunk>`` unit (tools.rs:530-547). The match set is
-    unbounded, so the context range-join is a shuffle join on doc, never
-    a broadcast."""
+    unbounded, so the context range-join never FORCES a broadcast hint
+    (broadcast=False); Catalyst may still pick a BroadcastHashJoin from
+    its own size estimates when the match set proves small at runtime —
+    that's the desired adaptive behavior, while an unconditional hint
+    would be an OOM risk at scale."""
     import re as _re
 
     pat = _re.escape(pattern) if literal else pattern

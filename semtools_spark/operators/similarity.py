@@ -194,33 +194,20 @@ def ivf_centroids(n_centroids: int = 8, dim: int = 64, seed: int = 42) -> np.nda
     return mat / norms[:, None]
 
 
-def ivf_train_centroids(
-    emb: DataFrame,
+def ivf_train_centroids_np(
+    mat: np.ndarray,
     n_centroids: int = 8,
     dim: int = 64,
     seed: int = 42,
-    vec_col: str = "embedding",
-    max_sample: int = 50_000,
     iters: int = 10,
 ) -> np.ndarray:
-    """Spherical-kmeans codebook trained on a bounded driver-side sample:
+    """Pure-NumPy spherical-kmeans core (Lloyd's on the cosine geometry):
     assign by max dot against unit centroids, recompute means,
-    renormalize — Lloyd's on the cosine geometry the index queries with.
-    Initialized from the seeded codebook, so training is deterministic
-    given (data, seed) and degrades gracefully (an empty cluster keeps
-    its previous centroid).
-
-    The sample is capped at ``max_sample`` rows (one count job + one
-    bounded collect — the codebook is tiny; training is the only
-    driver-side step and is O(max_sample · n_centroids · dim) per iter).
-    At 100 TB the same trained array is passed to ivf_assign/ivf_topk as
-    ``centroids=``; only the assignment scan is distributed."""
-    n = emb.count()
-    fraction = min(1.0, max_sample / max(n, 1))
-    sample = (
-        emb.select(vec_col).sample(fraction=fraction, seed=seed).limit(max_sample)
-    ).toPandas()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    renormalize. Initialized from the seeded codebook — deterministic
+    given (mat, seed); an empty cluster keeps its previous centroid.
+    Shared verbatim by the Spark operator and the DuckDB oracle builder
+    so both derive bit-identical codebooks from the same sample."""
+    mat = np.asarray(mat, dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     keep = norms > 0
     mat = mat[keep] / norms[keep, None]
@@ -237,6 +224,30 @@ def ivf_train_centroids(
             if nm > 0:
                 cents[c] = m / nm
     return cents
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_sample: int = 50_000,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical-kmeans codebook trained on a bounded driver-side sample
+    (one count job + one bounded collect — the codebook is tiny; training
+    is the only driver-side step, O(max_sample · n_centroids · dim) per
+    iter). At 100 TB the same trained array is passed to
+    ivf_assign/ivf_topk as ``centroids=``; only the assignment scan is
+    distributed."""
+    n = emb.count()
+    fraction = min(1.0, max_sample / max(n, 1))
+    sample = (
+        emb.select(vec_col).sample(fraction=fraction, seed=seed).limit(max_sample)
+    ).toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    return ivf_train_centroids_np(mat, n_centroids, dim, seed, iters)
 
 
 def ivf_assign(
