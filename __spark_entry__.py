@@ -823,6 +823,54 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_stream_sessionize(spark, sf_dir):
+    """The STATEFUL streaming sessionizer (applyInPandasWithState,
+    event-time timeout) hash-gated against the batch gaps-and-islands
+    oracle: a bounded user subset is drained through the real stream
+    (availableNow) with a far-future sentinel user that advances the
+    watermark past every open session's end+gap, so ALL real sessions
+    emit — by observed gap or by timeout — and the emitted set equals the
+    batch sessionization of the same events exactly."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from semtools_spark.streaming.sessions import run_sessionize_available
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, dt.datetime(2099, 1, 1), -1)], schema
+    )
+    root = tempfile.mkdtemp(prefix="stream_sess_")
+    src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
+    # two drains: batch 1 folds the data and arms the event-time timeouts;
+    # the second trigger fires them once the watermark (sentinel − 1h) has
+    # been committed
+    run_sessionize_available(spark, src, ckpt, schema, out, gap_minutes=30)
+    sessions = run_sessionize_available(spark, src, ckpt, schema, out, gap_minutes=30)
+    result = sessions.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_id", "n_events", "start_us", "end_us"
+    )
+    rows = result.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def _q_stream_windowed(spark, sf_dir):
     """The streaming windowed aggregation's batch twin — the SAME function
     the watermarked stream runs (streaming/windows.py), certified here on
@@ -927,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "stream_sessionize": _q_stream_sessionize,
         "stream_windowed_stats": _q_stream_windowed,
         "multimodal_meta": _q_multimodal_meta,
         "text_profile": _q_text_profile,
@@ -1287,6 +1336,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_sessions": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events), "
+            "g AS (SELECT user_id, ts_us, event_id, "
+            "CASE WHEN ts_us - lag(ts_us) OVER "
+            "(PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM e), "
+            "s AS (SELECT user_id, ts_us, "
+            "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, session_id, "
+            "count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us "
+            "FROM s GROUP BY 1, 2"
+        ),
+        "stream_sessionize": (
+            # the batch gaps-and-islands rendering over the same user
+            # subset: the fully-drained stream must equal it exactly
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id "
+            "FROM events WHERE user_id % 10 = 0), "
             "g AS (SELECT user_id, ts_us, event_id, "
             "CASE WHEN ts_us - lag(ts_us) OVER "
             "(PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 "
