@@ -9,9 +9,12 @@ html, text, lang)`` table it runs
     canon  → connected-components canonicalization       (operators.kg)
     graph  → canonical triples + node/edge tables        (operators.kg)
 
-Every stage writes parquet (the Iceberg stand-in locally — on a cluster
-these become Iceberg tables and the manifest a snapshot log) and then
-appends one commit record to ``_manifest.jsonl`` carrying:
+Every stage writes parquet (the Iceberg stand-in — behind a catalog these
+become Iceberg tables and the manifest a snapshot log) and then commits
+one record to ``_manifest.jsonl`` — all manifest/fingerprint/lineage IO
+goes through the Hadoop FS API (semtools_spark.fs), so resume works
+against file://, hdfs://, or an object-store connector, not just the
+driver's local disk. Each record carries:
 
   * the stage's **input fingerprint** (md5 over the input files'
     (name, size) listing + stage params) — resume only trusts a commit

@@ -62,6 +62,13 @@ def get_spark(
         # path in 4.1 (measured), so the record cap is the effective knob.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "8388608b")
+        # zstd intermediates: 35% fewer bytes than snappy on the web-text
+        # corpus (634->413 MB per 1M pages) at equal best-of-trials wall on
+        # this box; on a real cluster the intermediate tables hit disk and
+        # the shuffle network, where a third fewer bytes is a direct win
+        # (CPU for compression is the abundant resource at high core
+        # counts; bandwidth is the scarce one).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
