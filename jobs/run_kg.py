@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-link-distance", type=float, default=None)
+    ap.add_argument("--link-lsh-above", type=int, default=None,
+                    help="route entity linking through the LSH-bucketed "
+                         "path when the catalog exceeds this many rows "
+                         "(default: always broadcast)")
     ap.add_argument("--force", action="store_true",
                     help="recompute every stage, ignoring committed manifests")
     ap.add_argument("--cc-checkpoint", default=None,
@@ -63,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         dim=args.dim,
         seed=args.seed,
         max_link_distance=args.max_link_distance,
+        link_lsh_above=args.link_lsh_above,
         force=args.force,
         cc_checkpoint_dir=args.cc_checkpoint,
     )

@@ -109,6 +109,7 @@ def run_webkg_pipeline(
     dim: int = 64,
     seed: int = 42,
     max_link_distance: float | None = None,
+    link_lsh_above: int | None = None,
     force: bool = False,
     fail_after: str | None = None,
     cc_checkpoint_dir: str | None = None,
@@ -118,7 +119,12 @@ def run_webkg_pipeline(
     after that stage's commit — the kill point for resume tests."""
     hfs.mkdirs(spark, out_dir)
     manifest = CheckpointManifest(spark, out_dir)
-    params = {"dim": dim, "seed": seed, "max_link_distance": max_link_distance}
+    params = {
+        "dim": dim,
+        "seed": seed,
+        "max_link_distance": max_link_distance,
+        "link_lsh_above": link_lsh_above,
+    }
     paths = {s: f"{out_dir.rstrip('/')}/{s}.parquet" for s in STAGES}
     report: dict[str, dict] = {}
 
@@ -203,6 +209,7 @@ def run_webkg_pipeline(
         return kg.link_entities(
             mentions, catalog, dim=dim, seed=seed,
             max_distance=max_link_distance,
+            use_lsh_above=link_lsh_above,
         )
 
     run_stage("link", [paths["triples"]], _build_link)

@@ -193,3 +193,23 @@ def test_manifest_records_task_attempt_lineage(spark, pages_path, tmp_path):
         assert a["task_attempts"] == a["tasks_succeeded"] + a["task_failures"]
         assert a["max_task_failures"] >= 1
         assert e["partitions"], e["stage"]
+
+
+def test_pipeline_lsh_link_path_matches_fixture(spark, pages_path, tmp_path):
+    """The LSH-bucketed linking path (--link-lsh-above) produces the SAME
+    golden graph on the flagship corpus: every mention is an exact catalog
+    surface form, so identical vectors collide in their bucket and link at
+    distance 0 — P/R stays exactly 1.0 through the approximate path."""
+    out = str(tmp_path / "kg_lsh")
+    report = run_webkg_pipeline(spark, pages_path, out, dim=64, seed=SEED,
+                                link_lsh_above=1)
+    got = {
+        (r.subj, r.pred, r.obj, r.subj_id, r.obj_id, r.n_mentions)
+        for r in spark.read.parquet(report["paths"]["graph"]).collect()
+    }
+    with open(FIXTURE) as f:
+        want = {
+            (d["subj"], d["pred"], d["obj"], d["subj_id"], d["obj_id"], d["n_mentions"])
+            for d in (json.loads(line) for line in f)
+        }
+    assert got == want
