@@ -271,18 +271,22 @@ def _q_a4_agent_search(spark, sf_dir):
     top_k 3, max_distance 0.5, n_lines 5 — threshold AND truncation BOTH
     apply, unlike file-search S9's XOR). Oracled by an independent
     pure-Python reference run emitted as VALUES."""
+    import shutil
     import tempfile
 
     from semtools_spark.operators.workspace import Workspace
 
-    ws = Workspace(spark, tempfile.mkdtemp(prefix="a4_ws_"), dim=DIM)
+    root = tempfile.mkdtemp(prefix="a4_ws_")
+    ws = Workspace(spark, root, dim=DIM)
     ws.sync(_source_docs(spark, sf_dir), id_col="doc_id")
-    res = ws.agent_search(QUERY_TEXT)
-    return res.select(
+    res = ws.agent_search(QUERY_TEXT).select(
         "doc", "start", "end", "match_line",
         F.floor(F.col("distance") * 1000000).cast("long").alias("dist_micro"),
         "content",
     )
+    rows = res.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema)
 
 
 def _agent_search_oracle_sql(
