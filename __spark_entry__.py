@@ -244,6 +244,23 @@ def _q_grep_ctx(spark, sf_dir):
     return g.select("doc", "start", "end", "match_line", "line", "content")
 
 
+def _q_grep_files(spark, sf_dir):
+    """A3 per-file view: matches grouped per document (the reference's
+    HashMap<String, Vec<GrepMatch>> accumulation, ask/tools.rs:489-516);
+    the ordered match-line array is emitted comma-joined so the value
+    hash is list-representation-independent."""
+    from semtools_spark.operators.search import grep_by_file
+
+    g = grep_by_file(_source_docs(spark, sf_dir), r"vector\s+window")
+    return g.select(
+        "doc",
+        F.col("n_matches").cast("long"),
+        F.array_join(
+            F.transform(F.col("match_lines"), lambda x: x.cast("string")), ","
+        ).alias("match_lines"),
+    )
+
+
 def _q_grep_chunks(spark, sf_dir):
     """A7/O1: the grep tool's <chunk file=… start=… end=…> rendering
     (reference ask/tools.rs:530-547) as a final string projection."""
@@ -906,6 +923,22 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    """Frame sampling over the binary payload (mapInPandas, bounded
+    explode): every 4th 64-byte frame, emitted as md5 hex so the oracle
+    compares content without raw-binary hashing differences. The corpus
+    text is pure ASCII (checked), so the oracle's string substring equals
+    the byte slice."""
+    docs = _t(spark, sf_dir, "documents")
+    with_bin = multimodal.attach_binary_payload(docs)
+    frames = multimodal.frame_sample(with_bin, frame_bytes=64, every_n=4)
+    return frames.select(
+        F.col("doc_id").cast("long"),
+        F.col("frame_no").cast("int"),
+        F.md5(F.col("frame")).alias("frame_md5"),
+    )
+
+
 def _q_text_profile(spark, sf_dir):
     return textstats.profile(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long"),
@@ -952,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_sort_limit": _q_sort_limit,
         "a3_grep": _q_grep,
         "a3_grep_ctx": _q_grep_ctx,
+        "a3_grep_files": _q_grep_files,
         "a4_agent_search": _q_a4_agent_search,
         "a5_read_range": _q_a5_read_range,
         "a7_grep_chunks": _q_grep_chunks,
@@ -982,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "stream_windowed_stats": _q_stream_windowed,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
         "text_profile": _q_text_profile,
         "lang_distribution": _q_lang_distribution,
         "p1_passthrough": _q_p1_passthrough,
@@ -1126,6 +1161,16 @@ def oracle_sql() -> dict[str, str]:
         "a3_grep_ctx": (
             f"{_GREP_CTX_ORACLE_CTE} "
             'SELECT doc, start, "end", match_line, line, content FROM res'
+        ),
+        "a3_grep_files": (
+            "WITH d AS (SELECT source AS doc, string_agg(text, chr(10) ORDER BY doc_id) AS text "
+            "FROM documents GROUP BY source), "
+            "l AS (SELECT doc, UNNEST(string_split(text, chr(10))) AS line, "
+            "UNNEST(range(0, len(string_split(text, chr(10))))) AS line_no FROM d), "
+            "m AS (SELECT doc, line_no FROM l WHERE regexp_matches(line, 'vector\\s+window')) "
+            "SELECT doc, count(*) AS n_matches, "
+            "string_agg(CAST(line_no AS VARCHAR), ',' ORDER BY line_no) AS match_lines "
+            "FROM m GROUP BY doc"
         ),
         "a4_agent_search": _agent_search_oracle_sql(),
         "a5_read_range": (
@@ -1380,6 +1425,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) % 512 + 32 AS INTEGER) AS width, "
             "CAST((octet_length(encode(text)) * 31) % 512 + 32 AS INTEGER) AS height, "
             "'raw' AS fmt FROM documents"
+        ),
+        "multimodal_frames": (
+            # every 4th 64-byte frame of the (pure-ASCII) payload; md5 of
+            # the frame content
+            "WITH d AS (SELECT doc_id, text, length(text) // 64 AS n_frames FROM documents), "
+            "f AS (SELECT doc_id, UNNEST(range(0, n_frames)) AS fi, text FROM d "
+            "WHERE n_frames > 0) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fi AS INTEGER) AS frame_no, "
+            "md5(substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_md5 "
+            "FROM f WHERE fi % 4 = 0"
         ),
         "text_profile": (
             f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "

@@ -125,12 +125,26 @@ def delete_keys(
     return before - n_kept
 
 
+def _sweep_stale_swap_dirs(spark: SparkSession, table_path: str) -> None:
+    """Remove ``<table>.__tmp_*`` / ``<table>.__old_*`` left behind by a
+    killed swap (single-writer assumption, same as the reference's
+    store). Cheap: one parent-dir listing."""
+    parent, _, base = table_path.rstrip("/").rpartition("/")
+    if not parent:
+        return
+    for name, _size, _isdir in hfs.listdir(spark, parent):
+        if name.startswith((f"{base}.__tmp_", f"{base}.__old_")):
+            hfs.delete(spark, f"{parent}/{name}")
+
+
 def _atomic_overwrite(df: DataFrame, table_path: str) -> None:
     """Write-then-swap via FS rename so readers never see a half-written
     table and a killed job leaves the old snapshot intact (the resume
     unit). Runs on any Hadoop filesystem; rename is atomic on HDFS and
-    local FS (object stores: see fs.py caveat)."""
+    local FS (object stores: see fs.py caveat). Stale swap dirs from a
+    previously killed writer are swept first."""
     spark = df.sparkSession
+    _sweep_stale_swap_dirs(spark, table_path)
     tmp = f"{table_path}.__tmp_{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{table_path}.__old_{uuid.uuid4().hex}"

@@ -261,3 +261,33 @@ def test_delete_accepts_dataframe(spark, tmp_path, docs):
     keys = docs.filter(F.col("doc_id") >= 2).select(F.col("doc_id").alias("doc"))
     assert ws.delete(keys) == {"docs": 2, "lines": 2}
     assert ws.stats()["total_documents"] == 1
+
+
+def test_stale_swap_dirs_swept_on_retry(spark, tmp_path, docs, monkeypatch):
+    """Tmp dirs orphaned by a killed swap are removed by the next
+    successful overwrite of the same table."""
+    import os
+
+    from semtools_spark import fs as hfs
+
+    ws = W.Workspace(spark, str(tmp_path / "ws_sweep"), dim=16)
+    ws.sync(docs, mtime_col="mtime")
+
+    real_rename = hfs.rename
+
+    def crashing_rename(spark_, src, dst):
+        raise RuntimeError("injected kill before swap")
+
+    changed = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 1, F.lit("edited")).otherwise(F.col("text"))
+    )
+    monkeypatch.setattr(hfs, "rename", crashing_rename)
+    with pytest.raises(Exception, match="injected kill"):
+        ws.sync(changed, mtime_col="mtime")
+    monkeypatch.setattr(hfs, "rename", real_rename)
+    orphans = [d for d in os.listdir(tmp_path / "ws_sweep") if ".__tmp_" in d]
+    assert orphans, "kill should have left a tmp dir behind"
+
+    ws.sync(changed, mtime_col="mtime")
+    left = [d for d in os.listdir(tmp_path / "ws_sweep") if ".__tmp_" in d or ".__old_" in d]
+    assert left == []
