@@ -428,10 +428,15 @@ def connected_components(
         )
 
     def _sig(df: DataFrame):
-        # convergence probe AND input fingerprint: edge multiset
-        # (count, checksum)
+        # convergence probe AND input fingerprint: (count, xor-of-hashes)
+        # over the edge set. bit_xor(xxhash64) rather than an arithmetic
+        # checksum: SUM over 10^12 rows overflows BIGINT (an error under
+        # ANSI mode, silent wraparound otherwise), while XOR is total at
+        # any scale and order-insensitive; the relation is distinct each
+        # round, so XOR is a sound set fingerprint.
         return df.agg(
-            F.count("*").alias("c"), F.sum(F.col("u") * 31 + F.col("v")).alias("s")
+            F.count("*").alias("c"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("s"),
         ).first()
 
     start_round = 0
@@ -593,9 +598,12 @@ def canonicalize_mentions(
     and return (mention, canonical_id). Two surface forms linked to the
     same entity — or transitively via shared entities — canonicalize
     together."""
+    # pmod, not abs(hash) % n: abs(Long.MIN_VALUE) overflows BIGINT (an
+    # error under ANSI), and xxhash64 WILL hit it once in ~2^64 rows —
+    # certain at 10^12-document scale
     m_ids = linked.select(
         "mention",
-        (F.abs(F.xxhash64("mention")) % F.lit(mention_offset) + F.lit(mention_offset)).alias(
+        (F.pmod(F.xxhash64("mention"), F.lit(mention_offset)) + F.lit(mention_offset)).alias(
             "mention_node"
         ),
         "entity_id",
@@ -635,7 +643,8 @@ def materialize_graph(
         triples.select(F.col("subj").alias("name"))
         .union(triples.select(F.col("obj").alias("name")))
         .distinct()
-        .withColumn("node_id", F.abs(F.xxhash64("name")))
+        # pmod: abs(Long.MIN_VALUE) is an ANSI overflow (see above)
+        .withColumn("node_id", F.pmod(F.xxhash64("name"), F.lit(1 << 62)))
     )
     nodes.write.mode("overwrite").parquet(paths["nodes"])
     edges = (
