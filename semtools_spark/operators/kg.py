@@ -655,6 +655,29 @@ def materialize_graph(
     return paths
 
 
+def materialize_graph_bucketed(
+    triples: DataFrame,
+    table: str = "kg_triples_bucketed",
+    num_buckets: int = 32,
+) -> str:
+    """Catalog-backed bucketed materialization: ``bucketBy(subj)`` +
+    ``sortBy(subj)`` ``saveAsTable`` so every downstream subj-equi-join or
+    subj-aggregation over the graph is CO-LOCATED — Spark reads the
+    bucket spec from the catalog and plans the join with zero Exchange on
+    the bucketed side (the hash-partition-by-subj-hash directory layout
+    in :func:`materialize_graph` is the catalog-less stand-in; this is
+    the real thing wherever a metastore/warehouse exists, incl. plain
+    local ``spark-warehouse``). Returns the table name."""
+    (
+        triples.write.mode("overwrite")
+        .bucketBy(num_buckets, "subj")
+        .sortBy("subj")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return table
+
+
 def kg_pipeline(
     docs: DataFrame,
     *,

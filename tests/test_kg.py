@@ -337,3 +337,24 @@ def test_link_udf_closure_holds_no_matrix(spark):
     captured = [c.cell_contents for c in (fn.__closure__ or ())]
     assert not any(isinstance(c, np.ndarray) for c in captured)
     assert any(type(c).__name__ == "Broadcast" for c in captured)
+
+
+def test_bucketed_graph_join_has_no_shuffle(spark, tri_docs):
+    """materialize_graph_bucketed: a subj-equi-join of the bucketed table
+    with itself plans WITHOUT any shuffle Exchange — the bucket spec from
+    the catalog co-locates both sides (broadcast disabled to force the
+    merge-join path the assertion is about)."""
+    triples = kg.extract_triples(tri_docs)
+    name = kg.materialize_graph_bucketed(triples, table="t_kg_bucketed_test",
+                                         num_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table(name)
+        j = t.alias("a").join(t.alias("b"), "subj")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
