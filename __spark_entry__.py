@@ -5,8 +5,9 @@
 
 ``queries()`` / ``oracle_sql()`` cover the operator inventory of
 SURVEY.md §2 plus the training-data-pipeline extensions (dedup families,
-similarity/ANN incl. IVF, text analysis, streaming twins) — 40 queries,
-every one oracled. Design rules for oracle parity:
+similarity/ANN incl. seeded + kmeans-trained IVF, text analysis,
+multimodal metadata + frame sampling, batch twins AND the real stateful
+stream) — 46 queries, every one oracled. Design rules for oracle parity:
 
 * every numeric output is an exact integer (md5-shared hashes, floor()ed
   micro-units, centi-int money, bigint DIV ratios) or a deterministic

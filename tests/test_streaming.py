@@ -236,3 +236,83 @@ def test_session_fold_timeout_emits_open_session():
     rows = _run_fold(100, [], st)
     assert rows == [(7, 1, 3, 100, 200)]
     assert st.removed
+
+
+def test_session_fold_property_random_batches():
+    """Property: feeding ANY sequence of event-time batches through the
+    stateful fold and flushing via timeout yields, for on-time data
+    (batches in nondecreasing max-order and no event older than gap from
+    the open session start), exactly the batch gaps-and-islands sessions
+    of the concatenated stream; for arbitrary (late) data, every event is
+    counted exactly once and session bounds always satisfy start <= end
+    with no session overlapping another by more than the late-merge
+    rules allow."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from semtools_spark.streaming.sessions import _session_fn
+
+    gap = 100
+
+    def batch_islands_ref(ts):
+        ts = sorted(ts)
+        sessions, cur = [], [ts[0]]
+        for t in ts[1:]:
+            if t - cur[-1] > gap:
+                sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append(cur)
+        return [(len(s), s[0], s[-1]) for s in sessions]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=30),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def run(batches):
+        import pandas as pd
+
+        fn = _session_fn(gap)
+        state = _FakeState()
+        emitted = []
+        for b in batches:
+            out = list(fn((1,), iter([pd.DataFrame({"ts_us": b})]), state))
+            for pdf in out:
+                emitted.extend(
+                    (int(r.session_id), int(r.n_events), int(r.start_us), int(r.end_us))
+                    for r in pdf.itertuples(index=False)
+                )
+        if state.exists:
+            state.hasTimedOut = True
+            out = list(fn((1,), iter([pd.DataFrame({"ts_us": []})]), state))
+            for pdf in out:
+                emitted.extend(
+                    (int(r.session_id), int(r.n_events), int(r.start_us), int(r.end_us))
+                    for r in pdf.itertuples(index=False)
+                )
+        all_events = [t for b in batches for t in b]
+        if not all_events:
+            assert emitted == []
+            return
+        # conservation: every event counted exactly once
+        assert sum(e[1] for e in emitted) == len(all_events)
+        # bounds sane; sids unique and dense from 0
+        sids = sorted(e[0] for e in emitted)
+        assert sids == list(range(len(emitted)))
+        for _sid, _n, s, e in emitted:
+            assert s <= e
+        # ORDERED batches (each batch's min >= previous batch's max - gap
+        # merges are fine; strictly: nondecreasing concatenation) must
+        # reproduce the batch reference exactly
+        flat = [t for b in batches for t in sorted(b)]
+        if flat == sorted(flat):
+            ref = batch_islands_ref(all_events)
+            got = sorted(emitted)
+            assert [(n, s, e) for (_sid, n, s, e) in got] == ref
+
+    run()
