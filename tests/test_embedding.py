@@ -57,3 +57,25 @@ def test_batch_matches_single():
     mat = emb.embed_texts(texts)
     for i, t in enumerate(texts):
         assert np.array_equal(mat[i], HashEmbedder(dim=64).embed_one(t))
+
+
+def test_batch_equals_single_property():
+    """Property: for ANY batch of random texts, the vectorized batch path
+    is bit-identical to embedding each text alone with a fresh embedder —
+    the invariant that keeps the Spark UDF path, the driver-side query
+    embed, and the pure-Python oracles interchangeable."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(alphabet="abcXYZ019", min_size=1, max_size=6)
+    text = st.lists(token, min_size=0, max_size=40).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=8))
+    def run(texts):
+        emb = HashEmbedder(dim=32)
+        mat = emb.embed_texts(texts)
+        for i, t in enumerate(texts):
+            assert np.array_equal(mat[i], HashEmbedder(dim=32).embed_one(t))
+
+    run()
