@@ -238,18 +238,40 @@ def near_dup_groups(
     Scale shape: pairs are bucket-joined (never all-pairs), components
     run O(log n) shuffle rounds on the pair relation only (≪ corpus).
 
-    ``id_col`` must be numeric (castable to BIGINT): connected_components
-    raises loudly on non-numeric ids (string keys like file paths must be
-    mapped to dense numeric ids first — e.g. ``F.xxhash64``)."""
+    Non-numeric ids (urls, file paths — the web corpus's natural keys)
+    are supported: they are mapped through ``xxhash64`` for the CC loop
+    (collision odds ~n²/2⁶⁴ — negligible below ~10⁹ clustered docs) and
+    joined back, with ``group_id`` then the MIN original id of the
+    cluster (lexicographic for strings) — same survivor contract as the
+    numeric path. Numeric ids skip the mapping entirely."""
+    from pyspark.sql.types import NumericType
+
     from semtools_spark.operators.kg import connected_components
 
     pairs = minhash_lsh_pairs(
         docs, id_col, text_col, num_hashes, bands, shingle_n, seed,
         max_bucket_size=max_bucket_size,
     )
-    comp = connected_components(pairs, src="a", dst="b")
-    return comp.select(
-        F.col("node").alias(id_col), F.col("component").alias("group_id")
+    if isinstance(docs.schema[id_col].dataType, NumericType):
+        comp = connected_components(pairs, src="a", dst="b")
+        return comp.select(
+            F.col("node").alias(id_col), F.col("component").alias("group_id")
+        )
+    hashed = pairs.select(
+        F.xxhash64("a").alias("a"), F.xxhash64("b").alias("b")
+    )
+    comp = connected_components(hashed, src="a", dst="b")
+    ids = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("node", F.xxhash64("id"))
+    )
+    with_ids = ids.join(comp, "node").select("id", "component")
+    reps = with_ids.groupBy("component").agg(F.min("id").alias("group_id"))
+    return (
+        with_ids.join(reps, "component")
+        .select(F.col("id").alias(id_col), "group_id")
     )
 
 

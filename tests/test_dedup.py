@@ -120,3 +120,26 @@ def test_embedding_near_dups_block_cap(spark):
     assert uncapped.count() == 190 + 1
     capped = dedup.embedding_near_dups(emb, max_distance=0.5, max_block_size=5)
     assert {(r.a, r.b) for r in capped.collect()} == {(100, 101)}
+
+
+def test_near_dup_groups_string_ids(spark):
+    """String doc ids (urls — the web corpus's natural key) cluster
+    through the hash-mapped CC path; group_id is the MIN original id of
+    each cluster, matching the numeric path's survivor contract."""
+    from semtools_spark.operators.dedup import near_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("http://a/1", base),
+        ("http://a/2", base),                       # exact dup of /1
+        ("http://b/9", base + " lambda"),           # near dup
+        ("http://c/5", "totally different words here nothing shared xyz"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    got = {r.url: r.group_id for r in
+           near_dup_groups(docs, id_col="url", num_hashes=8, bands=4).collect()}
+    # the three near-dups cluster under the lexicographic min id
+    assert got["http://a/1"] == got["http://a/2"] == "http://a/1"
+    assert got.get("http://b/9") == "http://a/1"
+    # the unrelated doc either forms no pair (absent) or its own group
+    assert got.get("http://c/5", "http://c/5") == "http://c/5"
