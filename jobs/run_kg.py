@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="route entity linking through the LSH-bucketed "
                          "path when the catalog exceeds this many rows "
                          "(default: always broadcast)")
+    ap.add_argument("--dedup-pages", action="store_true",
+                    help="insert an exact content-dedup stage between "
+                         "parse and triples (min-url survivor per "
+                         "byte-identical extracted text)")
     ap.add_argument("--force", action="store_true",
                     help="recompute every stage, ignoring committed manifests")
     ap.add_argument("--cc-checkpoint", default=None,
@@ -68,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
         max_link_distance=args.max_link_distance,
         link_lsh_above=args.link_lsh_above,
+        dedup_pages=args.dedup_pages,
         force=args.force,
         cc_checkpoint_dir=args.cc_checkpoint,
     )

@@ -110,13 +110,21 @@ def run_webkg_pipeline(
     seed: int = 42,
     max_link_distance: float | None = None,
     link_lsh_above: int | None = None,
+    dedup_pages: bool = False,
     force: bool = False,
     fail_after: str | None = None,
     cc_checkpoint_dir: str | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns per-stage metrics plus
     the output paths. ``fail_after='triples'`` raises StageFailure right
-    after that stage's commit — the kill point for resume tests."""
+    after that stage's commit — the kill point for resume tests.
+
+    ``dedup_pages=True`` inserts an exact-dedup stage between parse and
+    triples (the training-data-pipeline composition): pages with
+    byte-identical extracted text collapse to one survivor (min url),
+    so boilerplate-duplicated pages don't inflate triple provenance.
+    One extra shuffle on the 32-byte content hash; the stage is part of
+    the resume manifest like any other."""
     hfs.mkdirs(spark, out_dir)
     manifest = CheckpointManifest(spark, out_dir)
     params = {
@@ -124,8 +132,13 @@ def run_webkg_pipeline(
         "seed": seed,
         "max_link_distance": max_link_distance,
         "link_lsh_above": link_lsh_above,
+        "dedup_pages": dedup_pages,
     }
-    paths = {s: f"{out_dir.rstrip('/')}/{s}.parquet" for s in STAGES}
+    stages = list(STAGES)
+    if dedup_pages:
+        stages.insert(1, "dedup")
+    paths = {s: f"{out_dir.rstrip('/')}/{s}.parquet" for s in stages}
+    triples_input = paths["dedup"] if dedup_pages else paths["parse"]
     report: dict[str, dict] = {}
 
     def run_stage(name: str, input_paths: list[str], build) -> None:
@@ -190,12 +203,36 @@ def run_webkg_pipeline(
         lambda: parse_pages(spark.read.parquet(pages_path)),
     )
 
+    # 1b. optional exact page dedup: byte-identical extracted text
+    # collapses to the min-url survivor (operators.dedup composition)
+    if dedup_pages:
+
+        def _build_dedup() -> DataFrame:
+            from semtools_spark.operators.dedup import exact_duplicates
+
+            parsed = spark.read.parquet(paths["parse"])
+            groups = exact_duplicates(parsed, id_col="url", text_col="text")
+            return (
+                parsed.withColumn("__h", F.md5("text"))
+                .join(
+                    groups.select(
+                        F.col("text_hash").alias("__h"),
+                        F.col("keep_id").alias("__keep"),
+                    ),
+                    "__h",
+                )
+                .filter(F.col("url") == F.col("__keep"))
+                .drop("__h", "__keep")
+            )
+
+        run_stage("dedup", [paths["parse"]], _build_dedup)
+
     # 2. triples: deterministic (subj, pred, obj) extraction, map-only
     run_stage(
         "triples",
-        [paths["parse"]],
+        [triples_input],
         lambda: kg.extract_triples(
-            spark.read.parquet(paths["parse"]), id_col="url"
+            spark.read.parquet(triples_input), id_col="url"
         ),
     )
 

@@ -213,3 +213,32 @@ def test_pipeline_lsh_link_path_matches_fixture(spark, pages_path, tmp_path):
             for d in (json.loads(line) for line in f)
         }
     assert got == want
+
+
+def test_pipeline_dedup_stage(spark, pages_path, tmp_path):
+    """dedup_pages=True: a corpus with byte-identical duplicate pages
+    (same html under different urls) collapses to min-url survivors
+    before extraction — triple provenance is NOT inflated, and the graph
+    equals the run over the duplicate-free corpus."""
+    pages = spark.read.parquet(pages_path)
+    dups = pages.limit(40).withColumn("url", F.concat(F.lit("dup://"), F.col("url")))
+    noisy_path = str(tmp_path / "noisy_pages.parquet")
+    pages.unionByName(dups).write.parquet(noisy_path)
+
+    out_clean = str(tmp_path / "kg_clean")
+    out_dedup = str(tmp_path / "kg_dedup")
+    # dedup on BOTH runs: the original corpus itself contains a few
+    # naturally identical pages, so the invariant is that the 40 injected
+    # url-renamed copies add NOTHING once dedup is on
+    clean = run_webkg_pipeline(spark, pages_path, out_clean, dim=64, seed=SEED,
+                               dedup_pages=True)
+    dedup = run_webkg_pipeline(spark, noisy_path, out_dedup, dim=64, seed=SEED,
+                               dedup_pages=True)
+    n_distinct = spark.read.parquet(pages_path).select("text").distinct().count()
+    assert dedup["stages"]["dedup"]["rows"] == n_distinct < N_PAGES + 40
+    assert clean["stages"]["dedup"]["rows"] == n_distinct
+    g_clean = {tuple(r) for r in spark.read.parquet(clean["paths"]["graph"]).collect()}
+    g_dedup = {tuple(r) for r in spark.read.parquet(dedup["paths"]["graph"]).collect()}
+    assert g_clean == g_dedup
+    # non-vacuous: the noisy corpus really is bigger
+    assert spark.read.parquet(noisy_path).count() == N_PAGES + 40
