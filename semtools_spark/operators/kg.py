@@ -202,6 +202,7 @@ def link_entities(
     seed: int = DEFAULT_SEED,
     max_distance: float | None = None,
     use_lsh_above: int | None = None,
+    catalog_size: int | None = None,
 ) -> DataFrame:
     """Cosine top-1 link of each distinct mention surface form against the
     catalog — the M-query generalization of the reference's brute-force
@@ -226,12 +227,27 @@ def link_entities(
     Returns (mention, entity_id, link_distance). Distinct mentions are
     linked once, then the (small) mapping can be broadcast-joined back to
     the full mention stream by the caller.
+
+    ``catalog_size`` (optional) is a known-row-count hint that skips the
+    strategy-picking ``count()`` job when ``use_lsh_above`` is set —
+    callers that just built the catalog know its size.
+
+    The broadcast path attaches its Broadcast handle to the returned
+    DataFrame as ``_semtools_broadcasts``; callers that materialize the
+    result (e.g. the pipeline stage write) should ``unpersist()`` those to
+    release executor blocks in long-lived sessions (a later re-evaluation
+    lazily re-broadcasts, so unpersist is always safe).
     """
     spark = mentions.sparkSession
     distinct_m = mentions.select(F.col(mention_col).alias("mention")).distinct()
 
-    if use_lsh_above is not None and catalog.count() > use_lsh_above:
+    use_lsh = False
+    if use_lsh_above is not None:
+        n_cat = catalog_size if catalog_size is not None else catalog.count()
+        use_lsh = n_cat > use_lsh_above
+    if use_lsh:
         linked = _link_entities_lsh(distinct_m, catalog, dim=dim, seed=seed)
+        broadcasts = getattr(linked, "_semtools_broadcasts", [])
     else:
         pdf = catalog.select("entity_id", "embedding").toPandas()
         ids = np.asarray(pdf["entity_id"], dtype=np.int64)
@@ -240,12 +256,14 @@ def link_entities(
         norms[norms == 0] = 1.0
         matn = (mat / norms[:, None]).astype(np.float32)
         bc = spark.sparkContext.broadcast((ids, matn))
+        broadcasts = [bc]
         _link = _make_link_udf(bc, dim, seed)
         linked = distinct_m.withColumn("__l", _link(F.col("mention"))).select(
             "mention", F.col("__l.entity_id"), F.col("__l.link_distance")
         )
     if max_distance is not None:
         linked = linked.filter(F.col("link_distance") < float(max_distance))
+    linked._semtools_broadcasts = broadcasts
     return linked
 
 
@@ -256,54 +274,89 @@ def _link_entities_lsh(
     dim: int,
     seed: int,
     n_planes: int = 8,
+    n_probes: int = 2,
+    max_rescue_catalog: int = 10_000,
 ) -> DataFrame:
-    """LSH-bucketed linking for catalogs too big to broadcast: candidates
-    share an integer hyperplane bucket (map-only signatures, one shuffle
-    on the bucket key), exact cosine re-rank within bucket; bucket-miss
-    mentions get an exact distributed cross-score. All JVM-side after the
-    mention embed."""
+    """LSH-bucketed linking for catalogs too big to broadcast.
+
+    Three bounded tiers — NO crossJoin and NO single-reducer window
+    anywhere (the r3 shape funneled |catalog| rows per missed mention
+    through one shuffle partition of a mention×catalog cross join —
+    exactly the hot-key blowup this path exists to avoid):
+
+    1. **bucket join**: mention probe buckets (exact signature + the
+       ``n_probes`` lowest-confidence bits flipped, multi-probe LSH)
+       equi-join the catalog's exact buckets; exact cosine re-rank.
+       Shuffle key = bucket; top-1 via ``min_by`` AGGREGATION so hot
+       mentions partially aggregate map-side instead of sorting under a
+       window.
+    2. **multi-probe** (inside tier 1): a mention whose exact bucket is
+       empty usually collides in a flipped-bit bucket — misses become
+       rare instead of common under skewed embedding mass.
+    3. **rescue**: the remaining misses score against a BOUNDED catalog
+       subset (first ``max_rescue_catalog`` entities by id —
+       TakeOrdered, no full sort) via the same broadcast Arrow matmul as
+       the small-catalog path: map-only, memory bounded by the cap, best
+       effort by construction (a rescue link is approximate; tiers 1-2
+       make reaching it rare). Every mention still links.
+    """
     from semtools_spark.embedding import embed_udf
     from semtools_spark.functions.vectors import cosine_distance_expr
-    from semtools_spark.operators.similarity import int_hyperplane_signature
-    from pyspark.sql import Window
+    from semtools_spark.operators.similarity import (
+        int_hyperplane_signature,
+        multi_probe_signatures,
+    )
 
-    m_emb = distinct_m.withColumn("embedding", embed_udf(dim=dim, seed=seed)(F.col("mention")))
-    m_sig = int_hyperplane_signature(m_emb, n_planes=n_planes, dim=dim, seed=seed)
+    spark = distinct_m.sparkSession
+    m_emb = distinct_m.withColumn(
+        "embedding", embed_udf(dim=dim, seed=seed)(F.col("mention"))
+    )
+    m_probe = multi_probe_signatures(
+        m_emb, n_planes=n_planes, dim=dim, seed=seed, n_probes=n_probes
+    )
+    m_cand = m_probe.select(
+        "mention", "embedding", F.explode("probe_buckets").alias("lsh_bucket")
+    )
     c_sig = int_hyperplane_signature(
         catalog.select("entity_id", "embedding"), n_planes=n_planes, dim=dim, seed=seed
     )
-    cand = (
-        m_sig.alias("m")
+    best = F.min_by(
+        F.struct("entity_id", "link_distance"),
+        F.struct("link_distance", "entity_id"),
+    ).alias("__b")
+    top1 = (
+        m_cand.alias("m")
         .join(c_sig.alias("c"), F.col("m.lsh_bucket") == F.col("c.lsh_bucket"))
         .select(
             F.col("m.mention").alias("mention"),
             F.col("c.entity_id").alias("entity_id"),
             cosine_distance_expr("m.embedding", "c.embedding").alias("link_distance"),
         )
+        .groupBy("mention")
+        .agg(best)
+        .select("mention", "__b.entity_id", "__b.link_distance")
     )
-    w = Window.partitionBy("mention").orderBy("link_distance", "entity_id")
-    top1 = (
-        cand.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
+    missed = m_probe.join(top1.select("mention"), "mention", "left_anti").select(
+        "mention"
     )
-    # bucket misses: exact distributed cross-score (few mentions × catalog)
-    missed = m_sig.join(top1.select("mention"), "mention", "left_anti").select(
-        "mention", "embedding"
+    sample = (
+        catalog.select("entity_id", "embedding")
+        .orderBy("entity_id")
+        .limit(max_rescue_catalog)
+        .toPandas()
     )
-    rescue = (
-        missed.alias("m")
-        .crossJoin(catalog.select("entity_id", "embedding").alias("c"))
-        .select(
-            F.col("m.mention").alias("mention"),
-            F.col("c.entity_id").alias("entity_id"),
-            cosine_distance_expr("m.embedding", "c.embedding").alias("link_distance"),
-        )
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
+    ids = np.asarray(sample["entity_id"], dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in sample["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, (mat / norms[:, None]).astype(np.float32)))
+    _link = _make_link_udf(bc, dim, seed)
+    rescue = missed.withColumn("__l", _link(F.col("mention"))).select(
+        "mention", F.col("__l.entity_id"), F.col("__l.link_distance")
     )
-    return top1.unionByName(rescue)
+    out = top1.unionByName(rescue)
+    out._semtools_broadcasts = [bc]
+    return out
 
 
 def _latest_cc_round(spark: SparkSession, checkpoint_dir: str) -> int:

@@ -163,6 +163,66 @@ def int_hyperplane_signature(
     return emb.withColumn(out_col, _dim_guard(vec_col, dim, sig))
 
 
+def multi_probe_signatures(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    n_probes: int = 2,
+    out_col: str = "probe_buckets",
+) -> DataFrame:
+    """Multi-probe LSH: ``array<long>`` of ``1 + n_probes`` candidate
+    buckets per row — the exact signature first, then variants with the
+    n_probes LOWEST-|dot| (least confident) signature bits flipped, in
+    confidence order. A vector near a hyperplane lands in the adjacent
+    bucket under small perturbations; probing those buckets recovers most
+    bucket-miss candidates WITHOUT any fallback scan (the standard
+    multi-probe LSH argument, Lv et al. VLDB'07).
+
+    Same integer micro-unit dot arithmetic as
+    :func:`int_hyperplane_signature` — ``probe_buckets[0]`` equals its
+    ``lsh_bucket`` exactly. Map-only JVM expressions (no Python)."""
+    if n_probes >= n_planes:
+        raise ValueError(f"n_probes ({n_probes}) must be < n_planes ({n_planes})")
+    weights = int_plane_weights(n_planes, dim, seed)
+    dot_exprs = []
+    for j in range(n_planes):
+        warr = ", ".join(str(int(w)) for w in weights[j])
+        dot_exprs.append(
+            f"aggregate(zip_with({vec_col}, array({warr}), "
+            f"(x, w) -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * w), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    dots = F.expr("array(" + ", ".join(dot_exprs) + ")")
+    base = F.expr(
+        "aggregate(sequence(0, {n}), CAST(0 AS BIGINT), (acc, j) -> "
+        "acc + CASE WHEN __mp_dots[j] > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
+        "ELSE CAST(0 AS BIGINT) END)".format(n=n_planes - 1)
+    )
+    # bit indices ordered by |dot| ascending (ties → lower index): struct
+    # array_sort orders lexicographically by (|dot|, j)
+    flip_order = F.expr(
+        "transform(array_sort(transform(sequence(0, {n}), "
+        "j -> struct(abs(__mp_dots[j]) AS a, j AS j))), s -> s.j)".format(
+            n=n_planes - 1
+        )
+    )
+    buckets = F.expr(
+        "concat(array(__mp_base), transform(slice(__mp_flips, 1, {k}), "
+        "j -> CAST(__mp_base ^ shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)))".format(
+            k=n_probes
+        )
+    )
+    return (
+        emb.withColumn("__mp_dots", _dim_guard(vec_col, dim, dots))
+        .withColumn("__mp_base", base)
+        .withColumn("__mp_flips", flip_order)
+        .withColumn(out_col, buckets)
+        .drop("__mp_dots", "__mp_base", "__mp_flips")
+    )
+
+
 def int_hyperplane_signature_sql_duckdb(
     n_planes: int = 8, dim: int = 64, seed: int = 42, vec_col: str = "embedding"
 ) -> str:

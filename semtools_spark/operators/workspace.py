@@ -200,6 +200,19 @@ class Workspace:
             self.dim = cfg["dim"]
             self.seed = cfg["seed"]
         else:
+            # A populated workspace with NO config is corruption (e.g. a
+            # crashed config rewrite, or a hand-deleted file): adopting the
+            # caller's dim/seed here would silently score future queries
+            # against incompatible stored vectors — refuse instead.
+            if hfs.exists(spark, self.manifest_path) or hfs.exists(
+                spark, self.lines_path
+            ):
+                raise IOError(
+                    f"workspace at {root} has data tables but no "
+                    f"{self.CONFIG_FILE}: refusing to adopt new embedding "
+                    f"params over existing vectors (restore the config or "
+                    f"delete the workspace)"
+                )
             self.dim = 64 if dim is None else dim
             self.seed = DEFAULT_SEED if seed is None else seed
             self._save_config()
@@ -233,7 +246,8 @@ class Workspace:
     def _save_config(self) -> None:
         import json
 
-        tmp = self._config_path() + f".tmp_{uuid.uuid4().hex}"
+        cfg_path = self._config_path()
+        tmp = cfg_path + f".tmp_{uuid.uuid4().hex}"
         hfs.write_text(
             self.spark,
             tmp,
@@ -245,9 +259,24 @@ class Workspace:
                 }
             ),
         )
-        hfs.delete(self.spark, self._config_path())
-        if not hfs.rename(self.spark, tmp, self._config_path()):
-            raise IOError(f"could not commit workspace config at {self._config_path()}")
+        # Rename-FIRST: succeeds when no destination exists (the common
+        # case — the config is written once at creation). Only on refusal
+        # (a prior config present) move the old file aside, commit, then
+        # drop the old copy — at every crash point either the old or the
+        # new config is at cfg_path, so the dim/seed mismatch guard never
+        # silently disappears (a delete-then-rename window would leave a
+        # configless workspace whose next open adopts the caller's params
+        # against incompatible stored vectors).
+        if not hfs.rename(self.spark, tmp, cfg_path):
+            old = cfg_path + f".old_{uuid.uuid4().hex}"
+            if not hfs.rename(self.spark, cfg_path, old):
+                hfs.delete(self.spark, tmp)
+                raise IOError(f"could not move aside old config at {cfg_path}")
+            if not hfs.rename(self.spark, tmp, cfg_path):
+                hfs.rename(self.spark, old, cfg_path)  # roll back
+                hfs.delete(self.spark, tmp)
+                raise IOError(f"could not commit workspace config at {cfg_path}")
+            hfs.delete(self.spark, old)
 
     @property
     def manifest_path(self) -> str:

@@ -65,21 +65,42 @@ def fingerprint(spark: SparkSession, input_paths: list[str], params: dict) -> st
 
 
 class CheckpointManifest:
-    """jsonl commit log; commits become visible via an atomic
-    write-tmp-then-rename of the whole (small) file — FS append is not
-    available on every Hadoop filesystem, and the rename IS the commit
-    point exactly as the old local fsync-append was."""
+    """Commit log as ONE FILE PER RECORD under ``_manifest/`` — append
+    semantics without FS append (absent on many Hadoop filesystems):
+
+    * each commit writes a tmp file then renames it to a unique final name
+      (``<time_ns>-<uuid>.json``) — rename-first onto a name that never
+      exists, so there is NO crash window where previously committed
+      records vanish (the old whole-file rewrite had a delete-then-rename
+      gap that could drop the entire log);
+    * commits are independent: two drivers sharing an out_dir append
+      side-by-side instead of silently overwriting each other's
+      read-modify-write of a single jsonl.
+
+    A legacy ``_manifest.jsonl`` (rounds ≤ 3) is still read, ordered
+    before the per-record commits."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        hfs.mkdirs(spark, root)
-        self.path = f"{root.rstrip('/')}/_manifest.jsonl"
+        self.path = f"{root.rstrip('/')}/_manifest"
+        self.legacy_path = f"{root.rstrip('/')}/_manifest.jsonl"
+        hfs.mkdirs(spark, self.path)
 
     def entries(self) -> list[dict]:
-        text = hfs.read_text(self.spark, self.path)
-        if text is None:
-            return []
-        return [json.loads(line) for line in text.splitlines() if line.strip()]
+        out: list[dict] = []
+        legacy = hfs.read_text(self.spark, self.legacy_path)
+        if legacy is not None:
+            out.extend(json.loads(ln) for ln in legacy.splitlines() if ln.strip())
+        names = sorted(
+            name
+            for name, _size, is_dir in hfs.listdir(self.spark, self.path)
+            if not is_dir and name.endswith(".json") and not name.startswith(".")
+        )
+        for name in names:
+            text = hfs.read_text(self.spark, f"{self.path}/{name}")
+            if text:
+                out.append(json.loads(text))
+        return out
 
     def committed(self, stage: str, fp: str) -> dict | None:
         for e in reversed(self.entries()):
@@ -88,13 +109,14 @@ class CheckpointManifest:
         return None
 
     def commit(self, record: dict) -> None:
-        text = hfs.read_text(self.spark, self.path) or ""
-        text += json.dumps(record, sort_keys=True) + "\n"
-        tmp = f"{self.path}.tmp_{uuid.uuid4().hex}"
-        hfs.write_text(self.spark, tmp, text)
-        hfs.delete(self.spark, self.path)
-        if not hfs.rename(self.spark, tmp, self.path):
-            raise IOError(f"could not commit manifest at {self.path}")
+        # time_ns prefix gives the sort order entries() relies on; the
+        # uuid suffix makes the final name unique, so the rename commits
+        # without ever displacing an existing file
+        name = f"{time.time_ns():020d}-{uuid.uuid4().hex}.json"
+        tmp = f"{self.path}/.tmp_{name}"
+        hfs.write_text(self.spark, tmp, json.dumps(record, sort_keys=True))
+        if not hfs.rename(self.spark, tmp, f"{self.path}/{name}"):
+            raise IOError(f"could not commit manifest record at {self.path}/{name}")
 
 
 class StageFailure(RuntimeError):
@@ -160,11 +182,20 @@ def run_webkg_pipeline(
         sc = spark.sparkContext
         group = f"semtools-stage-{name}-{uuid.uuid4().hex[:8]}"
         sc.setJobGroup(group, f"webkg stage {name}")
+        df: DataFrame | None = None
         try:
-            df: DataFrame = build()
+            df = build()
             df.write.mode("overwrite").parquet(paths[name])
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
+            # release operator-attached broadcasts (e.g. the link stage's
+            # entity-catalog matrix) now that the stage is materialized —
+            # a long-lived session running many pipelines would otherwise
+            # accumulate catalog-sized blocks on driver + executors.
+            # unpersist (not destroy): a later re-evaluation would lazily
+            # re-broadcast, so this is safe even on error paths.
+            for b in getattr(df, "_semtools_broadcasts", ()):
+                b.unpersist()
         tracker = sc.statusTracker()
         tasks_ok = task_failures = 0
         for jid in tracker.getJobIdsForGroup(group):
@@ -210,10 +241,17 @@ def run_webkg_pipeline(
         def _build_dedup() -> DataFrame:
             from semtools_spark.operators.dedup import exact_duplicates
 
-            parsed = spark.read.parquet(paths["parse"])
-            groups = exact_duplicates(parsed, id_col="url", text_col="text")
+            # NULL text (e.g. a NULL html column) must flow THROUGH dedup,
+            # not be dropped by a NULL join key: hash coalesce(text, '')
+            # on both sides so all NULL/empty pages form one group with a
+            # min-url survivor, matching the dedup_pages=False behavior
+            # for every non-duplicate page
+            parsed = spark.read.parquet(paths["parse"]).withColumn(
+                "__t", F.coalesce(F.col("text"), F.lit(""))
+            )
+            groups = exact_duplicates(parsed, id_col="url", text_col="__t")
             return (
-                parsed.withColumn("__h", F.md5("text"))
+                parsed.withColumn("__h", F.md5("__t"))
                 .join(
                     groups.select(
                         F.col("text_hash").alias("__h"),
@@ -222,7 +260,7 @@ def run_webkg_pipeline(
                     "__h",
                 )
                 .filter(F.col("url") == F.col("__keep"))
-                .drop("__h", "__keep")
+                .drop("__h", "__keep", "__t")
             )
 
         run_stage("dedup", [paths["parse"]], _build_dedup)
@@ -247,6 +285,8 @@ def run_webkg_pipeline(
             mentions, catalog, dim=dim, seed=seed,
             max_distance=max_link_distance,
             use_lsh_above=link_lsh_above,
+            # we just built the catalog — skip the strategy-picking count job
+            catalog_size=len(kg.ENTITIES),
         )
 
     run_stage("link", [paths["triples"]], _build_link)

@@ -358,3 +358,94 @@ def test_bucketed_graph_join_has_no_shuffle(spark, tri_docs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_link_lsh_multi_probe_recovers_base_bucket_misses(spark):
+    """Forced-miss verification of the multi-probe link path: mentions
+    whose EXACT bucket holds no catalog entry but whose flipped-bit probe
+    bucket does must link through tier 1 (bucket join) — their linked
+    entity equals the NumPy min over the probe-bucket candidates, which
+    for most of them DIFFERS from the global min (so a rescue-path link
+    could not fake the assertion). Also: the LSH plan contains no
+    CartesianProduct / BroadcastNestedLoopJoin (the r3 rescue was a
+    mention×catalog cross join)."""
+    import numpy as np
+
+    from semtools_spark.embedding import DEFAULT_SEED, HashEmbedder
+    from semtools_spark.operators.similarity import int_plane_weights
+
+    dim, n_planes, n_probes, seed = 32, 6, 2, DEFAULT_SEED
+    names = [f"entity{i}" for i in range(30)]
+    catalog = kg.build_entity_catalog(spark, names, dim=dim, seed=seed)
+    mentions = [f"m{i} w{i % 7}" for i in range(300)]
+
+    emb = HashEmbedder(dim=dim, seed=seed)
+    mv, cv = emb.embed_texts(mentions), emb.embed_texts(names)
+    W = int_plane_weights(n_planes, dim, seed)
+
+    def dots(v):
+        return np.floor(np.asarray(v, np.float64) * 1e6).astype(np.int64) @ W.T
+
+    def bucket(d):
+        return int(((d > 0).astype(np.int64) << np.arange(n_planes)).sum())
+
+    def cos_dist(u, v):
+        un, vn = np.linalg.norm(u), np.linalg.norm(v)
+        return 1.0 - float(np.dot(u, v) / (un * vn)) if un and vn else 1.0
+
+    cb: dict[int, list[int]] = {}
+    for i, c in enumerate(cv):
+        cb.setdefault(bucket(dots(c)), []).append(i)
+    forced = []  # (mention, probe-tier best entity, global best entity)
+    for i, v in enumerate(mv):
+        d = dots(v)
+        base = bucket(d)
+        if base in cb:
+            continue
+        order = sorted(range(n_planes), key=lambda j: (abs(int(d[j])), j))
+        cand = [
+            e
+            for p in (base ^ (1 << j) for j in order[:n_probes])
+            if p in cb
+            for e in cb[p]
+        ]
+        if not cand:
+            continue
+        best_probe = min(cand, key=lambda e: (cos_dist(v, cv[e]), e))
+        best_global = min(range(len(cv)), key=lambda e: (cos_dist(v, cv[e]), e))
+        forced.append((mentions[i], best_probe, best_global))
+    # preconditions: the corpus really exercises the path, non-vacuously
+    assert len(forced) >= 20, len(forced)
+    assert sum(1 for _, bp, bg in forced if bp != bg) >= 20
+
+    mdf = spark.createDataFrame([(m,) for m in mentions], ["mention"])
+    linked = kg._link_entities_lsh(
+        mdf, catalog, dim=dim, seed=seed, n_planes=n_planes, n_probes=n_probes
+    )
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = {r.mention: r.entity_id for r in linked.collect()}
+    assert len(got) == len(mentions)  # every mention links (rescue tier)
+    for m, best_probe, _ in forced:
+        assert got[m] == best_probe, (m, got[m], best_probe)
+
+
+def test_link_entities_catalog_size_hint_skips_count(spark):
+    """catalog_size= must suppress the per-call strategy-picking count()
+    job (ADVICE r3: an extra job per invocation)."""
+    names = ["spark", "table", "row"]
+    catalog = kg.build_entity_catalog(spark, names, dim=64)
+
+    def _boom():
+        raise AssertionError("catalog.count() was called despite the hint")
+
+    catalog.count = _boom
+    mentions = spark.createDataFrame([("spark",), ("row",)], ["mention"])
+    got = {
+        r.mention: r.entity_id
+        for r in kg.link_entities(
+            mentions, catalog, dim=64, use_lsh_above=10_000, catalog_size=3
+        ).collect()
+    }
+    assert got == {"spark": 0, "row": 2}

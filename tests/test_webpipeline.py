@@ -134,8 +134,9 @@ def test_pipeline_resume_after_failure(spark, pages_path, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
     # manifest carries per-partition lineage with real row/byte counts
-    with open(report["manifest"]) as f:
-        entries = [json.loads(line) for line in f]
+    from semtools_spark.pipeline import CheckpointManifest
+
+    entries = CheckpointManifest(spark, out).entries()
     by_stage = {e["stage"]: e for e in entries}
     assert set(by_stage) == {"parse", "triples", "link", "canon", "graph"}
     for e in by_stage.values():
@@ -184,8 +185,9 @@ def test_manifest_records_task_attempt_lineage(spark, pages_path, tmp_path):
     per-partition (file, rows, bytes) lineage."""
     out = str(tmp_path / "kg_attempts")
     run_webkg_pipeline(spark, pages_path, out)
-    with open(os.path.join(out, "_manifest.jsonl")) as f:
-        entries = [json.loads(line) for line in f if line.strip()]
+    from semtools_spark.pipeline import CheckpointManifest
+
+    entries = CheckpointManifest(spark, out).entries()
     assert {e["stage"] for e in entries} == {"parse", "triples", "link", "canon", "graph"}
     for e in entries:
         a = e["attempts"]

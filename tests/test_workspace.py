@@ -291,3 +291,18 @@ def test_stale_swap_dirs_swept_on_retry(spark, tmp_path, docs, monkeypatch):
     ws.sync(changed, mtime_col="mtime")
     left = [d for d in os.listdir(tmp_path / "ws_sweep") if ".__tmp_" in d or ".__old_" in d]
     assert left == []
+
+
+def test_configless_populated_workspace_refuses_open(spark, tmp_path, docs):
+    """A workspace with data tables but a missing config (crashed config
+    rewrite / hand-deleted file) is corruption: reopening must refuse
+    loudly rather than adopt the caller's dim/seed over incompatible
+    stored vectors (ADVICE r3)."""
+    import os
+
+    root = str(tmp_path / "ws_noconf")
+    ws = W.Workspace(spark, root, dim=32)
+    ws.sync(docs)
+    os.remove(os.path.join(root, W.Workspace.CONFIG_FILE))
+    with pytest.raises(IOError, match="no workspace.json"):
+        W.Workspace(spark, root, dim=64)
