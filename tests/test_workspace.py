@@ -306,3 +306,104 @@ def test_configless_populated_workspace_refuses_open(spark, tmp_path, docs):
     os.remove(os.path.join(root, W.Workspace.CONFIG_FILE))
     with pytest.raises(IOError, match="no workspace.json"):
         W.Workspace(spark, root, dim=64)
+
+
+def _bucket_files(root, table):
+    """{relpath: (size, mtime_ns)} for every parquet part under each
+    __bucket= dir of a table."""
+    import os
+
+    out = {}
+    tdir = os.path.join(root, table)
+    for dirpath, _dirs, files in os.walk(tdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, tdir)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_bucket_scoped_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The r4 O(delta) MERGE contract: an upsert touching ONE doc leaves
+    every other bucket's parquet files byte-identical on disk (same path,
+    size, mtime) — the old layout rewrote 100% of the table per sync."""
+    import os as _os
+
+    root = str(tmp_path / "ws_bucketed")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=8)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i}", i) for i in range(64)],
+        ["doc_id", "text", "mtime"],
+    )
+    ws.sync(docs, mtime_col="mtime")
+    # the layout really is hive-bucketed
+    buckets = W._bucket_ids(spark, ws.lines_path)
+    assert len(buckets) > 4, buckets
+    before_lines = _bucket_files(root, "line_embeddings.parquet")
+    before_man = _bucket_files(root, "doc_manifest.parquet")
+
+    changed = spark.createDataFrame(
+        [(7, "alpha beta doc 7 CHANGED", 999)], ["doc_id", "text", "mtime"]
+    )
+    counts = ws.sync(changed, mtime_col="mtime")
+    assert counts.get(W.STATE_CHANGED, 0) == 1
+
+    # which bucket did doc 7 land in?
+    target_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(8)).cast("int").alias("b")
+    ).first().b
+    after_lines = _bucket_files(root, "line_embeddings.parquet")
+    after_man = _bucket_files(root, "doc_manifest.parquet")
+    for before, after in ((before_lines, after_lines), (before_man, after_man)):
+        untouched_before = {
+            p: v for p, v in before.items()
+            if not p.startswith(f"__bucket={target_bucket}/")
+        }
+        untouched_after = {
+            p: v for p, v in after.items()
+            if not p.startswith(f"__bucket={target_bucket}/")
+        }
+        assert untouched_before == untouched_after
+        # the touched bucket WAS rewritten
+        assert {p for p in before if p.startswith(f"__bucket={target_bucket}/")} \
+            != {p for p in after if p.startswith(f"__bucket={target_bucket}/")} or any(
+                before[p] != after[p]
+                for p in before
+                if p.startswith(f"__bucket={target_bucket}/") and p in after
+            )
+
+    # data is correct after the partial rewrite
+    got = {r.doc: r.line for r in ws.lines().collect()}
+    assert got[7] == "alpha beta doc 7 CHANGED"
+    assert len(got) == 64
+    # search with a doc filter partition-prunes the bucketed scan
+    hits = ws.search("alpha beta doc 7 CHANGED", top_k=1, doc_subset=[7])
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan, plan
+    assert hits.first().doc == 7
+
+
+def test_string_keyed_workspace_end_to_end(spark, tmp_path):
+    """A workspace keyed by url STRINGS (the web corpus's natural key)
+    through sync → search → list-form delete → prune (r3 crashed in
+    delete on the hardcoded 'doc long' schema)."""
+    root = str(tmp_path / "ws_urls")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=4)
+    docs = spark.createDataFrame(
+        [(f"https://ex.com/p{i}", f"page text {i}", i) for i in range(12)],
+        ["doc_id", "text", "mtime"],
+    )
+    counts = ws.sync(docs, mtime_col="mtime")
+    assert counts[W.STATE_NEW] == 12
+    hit = ws.search("page text 3", top_k=1, doc_subset=["https://ex.com/p3"]).first()
+    assert hit.doc == "https://ex.com/p3"
+
+    removed = ws.delete(["https://ex.com/p3", "https://ex.com/p4"])
+    assert removed == {"docs": 2, "lines": 2}
+    assert ws.stats()["total_documents"] == 10
+
+    still = docs.filter(F.col("doc_id") < "https://ex.com/p8")
+    pruned = ws.prune(still)
+    assert pruned["docs"] == 2  # p8, p9 (p3/p4 already gone)
+    assert ws.stats()["total_documents"] == 8
