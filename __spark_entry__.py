@@ -645,6 +645,34 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+def _q_dedup_survivor_triples(spark, sf_dir):
+    """The pipeline's dedup→triples composition as a gated prefix
+    (pipeline.py dedup_pages=True): triples are extracted ONLY from the
+    min-doc_id survivor of each exact content hash. NON-VACUOUS by
+    construction: the corpus is doubled with id-shifted byte-identical
+    copies (doc_id + 100000), so the dedup stage must really drop half
+    the input — both engines plant the same duplicates. One shuffle on
+    the 32-byte hash, then the map-only extraction."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = base.union(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    groups = dedup.exact_duplicates(noisy)  # (text_hash, n_copies, keep_id)
+    survivors = (
+        noisy.withColumn("__h", F.md5(F.col("text")))
+        .join(
+            groups.select(F.col("text_hash").alias("__h"), "keep_id"), "__h"
+        )
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("__h", "keep_id")
+    )
+    return kg.extract_triples(survivors).select(
+        F.col("doc").cast("long").alias("doc"),
+        F.col("pos").cast("int").alias("pos"),
+        "subj", "pred", "obj",
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     sig = dedup.minhash_signatures(
         _t(spark, sf_dir, "documents"), num_hashes=8
@@ -743,6 +771,23 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(
         emb, _query_vec(), k=10, nprobe=2, n_centroids=8, dim=DIM
     ).select(
+        F.col("vec_id").cast("long"), F.col("centroid_id").cast("int"), "dist_micro"
+    )
+
+
+def _q_ann_ivf_indexed(spark, sf_dir):
+    """IVF top-k over a PRE-MATERIALIZED index: the inverted lists are
+    written as centroid_id=K hive partitions once (ivf_build_index) and
+    the query partition-prunes to the nprobe probed lists — same answer
+    as ann_ivf_topk with NO per-query assignment scan (the fractional
+    scan proven in the physical plan; tests assert PartitionFilters and
+    the pruned file count)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="semtools_ivf_gate_") + "/index"
+    similarity.ivf_build_index(emb, idx, n_centroids=8, dim=DIM)
+    return similarity.ivf_topk_indexed(spark, idx, _query_vec(), k=10, nprobe=2).select(
         F.col("vec_id").cast("long"), F.col("centroid_id").cast("int"), "dist_micro"
     )
 
@@ -1002,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_search_threshold": _q_search_threshold,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_survivor_triples": _q_dedup_survivor_triples,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -1012,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": _q_ann_ivf_assign,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "ann_ivf_indexed": _q_ann_ivf_indexed,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "stream_sessionize": _q_stream_sessionize,
@@ -1100,6 +1147,24 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "kg_triples": triples_cte,
+        # dedup→triples prefix: splice noisy (planted id-shifted exact
+        # duplicates) + survivors (min-doc_id per md5(text)) CTEs ahead
+        # of the shared triples rendering
+        "dedup_survivor_triples": kg.extract_triples_oracle_sql(
+            table="survivors"
+        ).replace(
+            "WITH words AS",
+            "WITH noisy AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents"
+            "), survivors AS ("
+            "SELECT d.* FROM noisy d JOIN ("
+            "SELECT md5(text) AS h, min(doc_id) AS keep "
+            "FROM noisy GROUP BY 1) g "
+            "ON md5(d.text) = g.h AND d.doc_id = g.keep"
+            "), words AS",
+            1,
+        ),
         "kg_triple_counts": (
             f"WITH t AS ({triples_cte}) "
             "SELECT subj, pred, obj, COUNT(*) AS n FROM t GROUP BY 1, 2, 3"
@@ -1359,6 +1424,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM (SELECT vec_id, {_ivf_dists_sql()} AS d FROM embeddings)"
         ),
         "ann_ivf_topk": (
+            f"SELECT vec_id, centroid_id, dist_micro FROM ("
+            f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS centroid_id, "
+            f"CAST(floor(({dist}) * 1000000) AS BIGINT) AS dist_micro "
+            f"FROM (SELECT vec_id, embedding, {_ivf_dists_sql()} AS d FROM embeddings)) "
+            f"WHERE centroid_id IN ({_ivf_probe_sql()}) "
+            f"ORDER BY dist_micro, vec_id LIMIT 10"
+        ),
+        # same oracle as ann_ivf_topk: the index is the SAME seeded
+        # assignment, just materialized — identical result set required
+        "ann_ivf_indexed": (
             f"SELECT vec_id, centroid_id, dist_micro FROM ("
             f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
             f"CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS centroid_id, "

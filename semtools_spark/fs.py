@@ -105,10 +105,16 @@ def listing(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     def walk(p, prefix: str) -> None:
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name.startswith(("_", ".")):
+            is_dir = bool(st.isDirectory())
+            # skip hidden/metadata entries (_SUCCESS, .tmp, …) — but a
+            # hive PARTITION directory like ``__bucket=3`` is table data
+            # and must be fingerprinted, underscore prefix notwithstanding
+            if name.startswith(".") or (
+                name.startswith("_") and not (is_dir and "=" in name)
+            ):
                 continue
             rel = f"{prefix}{name}"
-            if st.isDirectory():
+            if is_dir:
                 walk(st.getPath(), rel + "/")
             else:
                 out.append((rel, int(st.getLen())))
@@ -132,10 +138,14 @@ def parquet_lineage(spark: SparkSession, path: str) -> list[dict]:
     def walk(p, prefix: str) -> None:
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name.startswith(("_", ".")):
+            is_dir = bool(st.isDirectory())
+            # same hive-partition-dir exception as listing() above
+            if name.startswith(".") or (
+                name.startswith("_") and not (is_dir and "=" in name)
+            ):
                 continue
             rel = f"{prefix}{name}"
-            if st.isDirectory():
+            if is_dir:
                 walk(st.getPath(), rel + "/")
             elif name.endswith(".parquet"):
                 inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -402,6 +402,112 @@ def ivf_topk(
     return scored.orderBy("dist_micro", id_col).limit(k)
 
 
+#: codebook + params sidecar written next to a materialized IVF index
+IVF_META_FILE = "_ivf_meta.json"
+
+
+def ivf_build_index(
+    emb: DataFrame,
+    index_path: str,
+    n_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> str:
+    """Materialize the IVF inverted lists: :func:`ivf_assign` output
+    written as hive partitions ``centroid_id=K``, plus a ``_ivf_meta.json``
+    sidecar carrying the exact codebook/params the index was built with
+    (a trained codebook round-trips — queries never score against a
+    different quantizer than the one that laid out the lists).
+
+    This turns the "fractional scan" from a docstring claim into a
+    physical plan property: :func:`ivf_topk_indexed` reads back with a
+    ``centroid_id IN (probes)`` filter that Spark resolves as PARTITION
+    pruning — only nprobe/n_centroids of the index files are opened, no
+    re-assignment scan of the corpus per query (the reference persists
+    its HNSW index the same way, store.rs:146-177). Build is one map-only
+    pass + one shuffle-free partitioned write."""
+    import json
+
+    from semtools_spark import fs as hfs
+
+    spark = emb.sparkSession
+    cents = ivf_centroids(n_centroids, dim, seed) if centroids is None else centroids
+    assigned = ivf_assign(
+        emb, n_centroids, dim, seed, id_col, vec_col, centroids=cents
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
+    hfs.write_text(
+        spark,
+        f"{index_path}/{IVF_META_FILE}",
+        json.dumps(
+            {
+                "n_centroids": n_centroids,
+                "dim": dim,
+                "seed": seed,
+                # json floats round-trip exactly (repr-based) — the probe
+                # step recomputes distances against bit-identical centroids
+                "centroids": [[float(x) for x in c] for c in cents],
+            }
+        ),
+    )
+    return index_path
+
+
+def ivf_read_meta(spark, index_path: str) -> dict:
+    import json
+
+    from semtools_spark import fs as hfs
+
+    text = hfs.read_text(spark, f"{index_path}/{IVF_META_FILE}")
+    if text is None:
+        raise FileNotFoundError(f"no {IVF_META_FILE} under {index_path}")
+    meta = json.loads(text)
+    meta["centroids"] = np.asarray(meta["centroids"], dtype=np.float64)
+    return meta
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a PRE-MATERIALIZED index (:func:`ivf_build_index`):
+    driver-side coarse search picks the nprobe nearest lists from the
+    sidecar codebook, then the scan reads ONLY those ``centroid_id=K``
+    partitions (partition pruning — asserted in tests via the plan's
+    PartitionFilters and the pruned input-file list). Identical output
+    contract to :func:`ivf_topk`, minus the per-query assignment scan."""
+    meta = ivf_read_meta(spark, index_path)
+    probe = ivf_probe_ids(
+        query_vec,
+        nprobe,
+        meta["n_centroids"],
+        meta["dim"],
+        meta["seed"],
+        centroids=meta["centroids"],
+    )
+    scored = (
+        spark.read.parquet(index_path)
+        .filter(F.col("centroid_id").isin(probe))
+        .withColumn("__q", vector_literal(query_vec))
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.floor(cosine_distance_expr(vec_col, "__q") * 1000000)
+            .cast("long")
+            .alias("dist_micro"),
+        )
+    )
+    return scored.orderBy("dist_micro", id_col).limit(k)
+
+
 def lsh_bucket_ann(
     emb: DataFrame,
     k: int = 1,

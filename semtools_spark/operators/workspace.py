@@ -323,6 +323,7 @@ class Workspace:
     ):
         self.spark = spark
         self.root = root.rstrip("/")
+        self.last_search_index_type: str | None = None
         hfs.mkdirs(spark, self.root)
         cfg = self._load_config()
         if cfg is not None:
@@ -483,6 +484,69 @@ class Workspace:
             )
         return counts
 
+    # ---- persistent ANN index (reference persists HNSW and reuses it
+    # across queries, store.rs:146-177; ours is IVF inverted lists) ------
+    @property
+    def ann_index_path(self) -> str:
+        return f"{self.root}/ann_index"
+
+    def _lines_fingerprint(self) -> str:
+        import hashlib
+        import json
+
+        return hashlib.md5(
+            json.dumps(hfs.listing(self.spark, self.lines_path)).encode()
+        ).hexdigest()
+
+    def build_ann_index(
+        self,
+        n_centroids: int = 8,
+        trained: bool = False,
+        max_sample: int = 50_000,
+    ) -> dict:
+        """Materialize IVF inverted lists over the stored line embeddings
+        (hive partitions ``centroid_id=K`` + codebook sidecar), stamped
+        with a fingerprint of the lines table — a later sync makes the
+        index STALE and search falls back to exact rather than silently
+        missing the new lines. ``trained=True`` fits a spherical-kmeans
+        codebook on a bounded sample first."""
+        from semtools_spark.operators.similarity import (
+            ivf_build_index,
+            ivf_train_centroids,
+        )
+
+        lines = self.lines()
+        if lines is None:
+            raise ValueError("cannot index an empty workspace — sync first")
+        cents = None
+        if trained:
+            cents = ivf_train_centroids(
+                lines, n_centroids=n_centroids, dim=self.dim, seed=self.seed,
+                max_sample=max_sample,
+            )
+        ivf_build_index(
+            lines, self.ann_index_path, n_centroids=n_centroids, dim=self.dim,
+            seed=self.seed, vec_col="embedding", centroids=cents,
+        )
+        import json
+
+        hfs.write_text(
+            self.spark,
+            f"{self.ann_index_path}/_source_fingerprint.json",
+            json.dumps({"lines_md5": self._lines_fingerprint()}),
+        )
+        return {"n_centroids": n_centroids, "trained": trained}
+
+    def ann_index_fresh(self) -> bool:
+        import json
+
+        text = hfs.read_text(
+            self.spark, f"{self.ann_index_path}/_source_fingerprint.json"
+        )
+        if text is None:
+            return False
+        return json.loads(text)["lines_md5"] == self._lines_fingerprint()
+
     # ---- W5/W6: filtered search ----------------------------------------
     def search(
         self,
@@ -491,6 +555,8 @@ class Workspace:
         max_distance: float | None = None,
         doc_subset: list | None = None,
         ignore_case: bool = False,
+        use_index: bool = False,
+        nprobe: int = 2,
     ) -> DataFrame:
         """Cosine search over stored line embeddings with optional doc
         filter (the reference pushes `path IN (...)` into qdrant,
@@ -500,10 +566,18 @@ class Workspace:
         Workspace semantics differ from file-search S9: the threshold is
         a PUSHDOWN applied together with the top_k truncation
         (store.rs:498-499 score_threshold + :538-544 sort-and-truncate),
-        not an either/or."""
+        not an either/or.
+
+        ``use_index=True`` searches through the persistent IVF index
+        (:meth:`build_ann_index`) when one exists AND is fresh: the scan
+        partition-prunes to the ``nprobe`` nearest inverted lists
+        (approximate — exact within the probed lists). A stale or absent
+        index falls back to the exact scan; the path actually taken is
+        recorded in ``last_search_index_type`` / ``stats()``."""
         from semtools_spark.embedding import HashEmbedder
         from semtools_spark.functions.vectors import cosine_distance_expr, vector_literal
 
+        self.last_search_index_type = "exact-cosine"
         stored = self.lines()
         if stored is None:
             return self.spark.createDataFrame(
@@ -511,7 +585,28 @@ class Workspace:
                 f"doc {self._doc_key_type()}, line_no int, line string, "
                 "distance double",
             )
-        if doc_subset is not None:
+        if use_index and self.ann_index_fresh():
+            from semtools_spark.operators.similarity import (
+                ivf_probe_ids,
+                ivf_read_meta,
+            )
+
+            q0 = query.lower() if ignore_case else query
+            qv = HashEmbedder(dim=self.dim, seed=self.seed).embed_one(q0)
+            meta = ivf_read_meta(self.spark, self.ann_index_path)
+            probe = ivf_probe_ids(
+                qv, nprobe, meta["n_centroids"], meta["dim"], meta["seed"],
+                centroids=meta["centroids"],
+            )
+            stored = (
+                self.spark.read.parquet(self.ann_index_path)
+                .filter(F.col("centroid_id").isin(probe))
+                .select("doc", "line_no", "line", "embedding")
+            )
+            self.last_search_index_type = "ivf-indexed"
+            if doc_subset is not None:
+                stored = stored.filter(F.col("doc").isin(doc_subset))
+        elif doc_subset is not None:
             if _bucket_ids(self.spark, self.lines_path):
                 # bucketed layout: turn the doc filter into a PARTITION
                 # filter too — the scan then reads only the subset's
@@ -634,11 +729,17 @@ class Workspace:
     # ---- W9: stats -------------------------------------------------------
     def stats(self) -> dict:
         man, lines = self.manifest(), self.lines()
+        # vs reference HNSW index_type (store.rs:443): report the physical
+        # search path available (a stale index is NOT advertised — search
+        # would fall back to exact) and the one the last search took
         return {
             "total_documents": man.count() if man is not None else 0,
             "total_lines": lines.count() if lines is not None else 0,
             "dim": self.dim,
-            "index_type": "exact-cosine",  # vs reference HNSW (store.rs:443)
+            "index_type": (
+                "ivf-indexed" if self.ann_index_fresh() else "exact-cosine"
+            ),
+            "last_search_index_type": self.last_search_index_type,
         }
 
     # ---- O3 JSON surfaces (reference json_mode.rs:40-51) ----------------

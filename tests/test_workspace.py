@@ -25,7 +25,7 @@ def test_empty_stats(spark, tmp_path):
     ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
     assert ws.stats() == {
         "total_documents": 0, "total_lines": 0, "dim": 16,
-        "index_type": "exact-cosine",
+        "index_type": "exact-cosine", "last_search_index_type": None,
     }
 
 
@@ -107,7 +107,7 @@ def test_cascade_delete_and_prune(spark, tmp_path, docs):
     assert pruned == {"docs": 1, "lines": 1}
     assert ws.stats() == {
         "total_documents": 1, "total_lines": 1, "dim": 16,
-        "index_type": "exact-cosine",
+        "index_type": "exact-cosine", "last_search_index_type": None,
     }
 
 
@@ -407,3 +407,46 @@ def test_string_keyed_workspace_end_to_end(spark, tmp_path):
     pruned = ws.prune(still)
     assert pruned["docs"] == 2  # p8, p9 (p3/p4 already gone)
     assert ws.stats()["total_documents"] == 8
+
+
+def test_workspace_ann_index_search_and_staleness(spark, tmp_path):
+    """Persistent IVF index over the workspace (reference persists HNSW,
+    store.rs:146-177): full-probe indexed search equals the exact scan;
+    stats/last_search_index_type report the physical path; a sync AFTER
+    the build makes the index stale and search falls back to exact
+    instead of silently missing the new lines."""
+    root = str(tmp_path / "ws_ann")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=4)
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i}", i) for i in range(40)],
+        ["doc_id", "text", "mtime"],
+    )
+    ws.sync(docs, mtime_col="mtime")
+    assert ws.stats()["index_type"] == "exact-cosine"
+
+    ws.build_ann_index(n_centroids=4)
+    assert ws.stats()["index_type"] == "ivf-indexed"
+    exact = [tuple(r) for r in ws.search("text body number 7", top_k=3).collect()]
+    assert ws.last_search_index_type == "exact-cosine"
+    full_probe = [
+        tuple(r)
+        for r in ws.search(
+            "text body number 7", top_k=3, use_index=True, nprobe=4
+        ).collect()
+    ]
+    assert ws.last_search_index_type == "ivf-indexed"
+    assert full_probe == exact  # nprobe = n_centroids ⇒ exact
+    # fractional probe still returns ranked results
+    assert ws.search("text body number 7", top_k=3, use_index=True,
+                     nprobe=1).count() <= 3
+
+    ws.sync(
+        spark.createDataFrame([(99, "brand new doc", 99)],
+                              ["doc_id", "text", "mtime"]),
+        mtime_col="mtime",
+    )
+    assert not ws.ann_index_fresh()
+    assert ws.stats()["index_type"] == "exact-cosine"
+    hit = ws.search("brand new doc", top_k=1, use_index=True).first()
+    assert ws.last_search_index_type == "exact-cosine"  # fell back
+    assert hit.doc == 99  # the stale index would have missed it
