@@ -75,15 +75,19 @@ def passthrough_predicate(url_col: str = "url"):
     return ext.isin(list(PASSTHROUGH_EXTS))
 
 
-def extract_text_udf():
+def extract_text_udf(extractor=None):
     """Arrow-batched UDF twin of :func:`extract_text_expr` — kept for
     callers that need the pure-Python extractor inside Spark (fixture
-    cross-checks); the hot path uses the JVM expression instead."""
+    cross-checks); the hot path uses the JVM expression instead.
+
+    ``extractor`` swaps in any custom ``bytes -> str`` function (see
+    :func:`parse_pages`); defaults to the pinned :func:`extract_text`."""
+    fn = extract_text if extractor is None else extractor
 
     @F.pandas_udf(T.StringType())
     def _extract(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
-            yield s.map(lambda b: extract_text(bytes(b)) if b is not None else "")
+            yield s.map(lambda b: fn(bytes(b)) if b is not None else "")
 
     return _extract
 
@@ -117,7 +121,7 @@ def extract_text_expr(html_col: str = "html"):
     return F.coalesce(F.array_join(paras, "\n\n"), F.lit(""))
 
 
-def parse_pages(pages: DataFrame) -> DataFrame:
+def parse_pages(pages: DataFrame, extractor=None) -> DataFrame:
     """web_pages → (url, warc_ts, lang, text) with text extracted.
 
     Two scan branches:
@@ -128,20 +132,35 @@ def parse_pages(pages: DataFrame) -> DataFrame:
 
     Both branches prune the scan to (url, warc_ts, lang, html); filters
     push to parquet. Union preserves partitioning — no shuffle anywhere.
+
+    ``extractor`` is the pluggable extraction slot (the reference swaps
+    parse backends behind one trait, src/parse/backend.rs): any
+    DETERMINISTIC pure function ``bytes -> str`` (no state, no network —
+    determinism is what makes the byte-identity fingerprint/resume
+    contract hold). It runs as an Arrow-batched pandas UDF over the
+    needs-parse branch only (passthrough stays a raw decode), so e.g. a
+    trafilatura-class real-HTML extractor drops in without touching the
+    Spark plumbing. Default ``None`` keeps the pinned JVM-regex extractor
+    — byte-identity fixtures are unaffected.
     """
     is_pass = passthrough_predicate()
     base = pages.select("url", "warc_ts", "lang", "html")
     pass_df = base.filter(is_pass).select(
         "url", "warc_ts", "lang", F.decode(F.col("html"), "UTF-8").alias("text")
     )
+    text_expr = (
+        extract_text_expr("html")
+        if extractor is None
+        else extract_text_udf(extractor)(F.col("html"))
+    )
     parse_df = base.filter(~is_pass).select(
-        "url", "warc_ts", "lang", extract_text_expr("html").alias("text")
+        "url", "warc_ts", "lang", text_expr.alias("text")
     )
     return pass_df.unionByName(parse_df)
 
 
 def parse_incremental(
-    pages: DataFrame, manifest: DataFrame | None
+    pages: DataFrame, manifest: DataFrame | None, extractor=None
 ) -> tuple[DataFrame, DataFrame]:
     """P2: anti-join incoming pages against the parse manifest so only
     new/changed urls flow to the extractor (reference cache probe,
@@ -167,6 +186,6 @@ def parse_incremental(
             & (incoming.warc_ts == m.m_ts),
             "left_anti",
         )
-    parsed = parse_pages(incoming.drop("size_bytes"))
+    parsed = parse_pages(incoming.drop("size_bytes"), extractor=extractor)
     manifest_rows = incoming.select("url", "size_bytes", "warc_ts")
     return parsed, manifest_rows

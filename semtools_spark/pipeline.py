@@ -133,6 +133,7 @@ def run_webkg_pipeline(
     max_link_distance: float | None = None,
     link_lsh_above: int | None = None,
     dedup_pages: bool = False,
+    extractor=None,
     force: bool = False,
     fail_after: str | None = None,
     cc_checkpoint_dir: str | None = None,
@@ -155,6 +156,15 @@ def run_webkg_pipeline(
         "max_link_distance": max_link_distance,
         "link_lsh_above": link_lsh_above,
         "dedup_pages": dedup_pages,
+        # a custom extractor changes the parse output, so its identity
+        # must invalidate the parse fingerprint (callables can't be
+        # hashed portably — the qualified name is the resume contract:
+        # same name ⇒ same deterministic bytes->str function)
+        "extractor": (
+            None
+            if extractor is None
+            else f"{extractor.__module__}.{getattr(extractor, '__qualname__', repr(extractor))}"
+        ),
     }
     stages = list(STAGES)
     if dedup_pages:
@@ -231,7 +241,7 @@ def run_webkg_pipeline(
     run_stage(
         "parse",
         [pages_path],
-        lambda: parse_pages(spark.read.parquet(pages_path)),
+        lambda: parse_pages(spark.read.parquet(pages_path), extractor=extractor),
     )
 
     # 1b. optional exact page dedup: byte-identical extracted text

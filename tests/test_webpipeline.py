@@ -244,3 +244,45 @@ def test_pipeline_dedup_stage(spark, pages_path, tmp_path):
     assert g_clean == g_dedup
     # non-vacuous: the noisy corpus really is bigger
     assert spark.read.parquet(noisy_path).count() == N_PAGES + 40
+
+
+def test_pluggable_extractor_slot(spark, pages_path, tmp_path):
+    """parse_pages/run_webkg_pipeline accept a custom bytes->str
+    extractor: the needs-parse branch runs it (passthrough unaffected),
+    the parse fingerprint keys on the extractor identity (a re-run with a
+    DIFFERENT extractor re-parses instead of trusting the cached stage),
+    and the default path's byte-identity fixtures are untouched."""
+
+    # defined INSIDE the test so cloudpickle ships it by value (a
+    # module-level function in tests/ pickles by reference, which worker
+    # processes cannot import)
+    def _shout_extractor(html: bytes) -> str:
+        from semtools_spark.operators.parse import extract_text
+
+        return extract_text(html).upper()
+
+    pages = spark.read.parquet(pages_path)
+    parsed = parse_pages(pages, extractor=_shout_extractor)
+    html_rows = parsed.join(
+        pages.filter(~passthrough_predicate()).select("url"), "url", "left_semi"
+    )
+    sample = html_rows.filter(F.length("text") > 0).limit(5).collect()
+    assert sample and all(r.text == r.text.upper() for r in sample)
+    # passthrough branch is NOT run through the extractor
+    pass_rows = parsed.join(
+        pages.filter(passthrough_predicate()).select("url", F.col("text").alias("orig")),
+        "url",
+    )
+    assert pass_rows.filter(F.col("text") != F.col("orig")).count() == 0
+
+    out = str(tmp_path / "kg_ext")
+    r1 = run_webkg_pipeline(spark, pages_path, out, seed=SEED)
+    assert not r1["stages"]["parse"]["skipped"]
+    # same corpus, different extractor -> parse fingerprint must mismatch
+    r2 = run_webkg_pipeline(spark, pages_path, out, seed=SEED,
+                            extractor=_shout_extractor)
+    assert not r2["stages"]["parse"]["skipped"]
+    # and re-running with the same custom extractor resumes
+    r3 = run_webkg_pipeline(spark, pages_path, out, seed=SEED,
+                            extractor=_shout_extractor)
+    assert r3["stages"]["parse"]["skipped"]
