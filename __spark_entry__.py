@@ -938,6 +938,59 @@ def _q_stream_sessionize(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def _q_stream_incremental_sync(spark, sf_dir):
+    """Streaming incremental workspace maintenance end-to-end through the
+    REAL file-source stream (availableNow): wave 1 lands a bounded doc
+    subset, wave 2 re-lands it with a deterministic mutation (doc_id%20
+    == 0 → upper(text), bumped mtime) — the second drain sees ONLY the
+    new file (checkpoint offsets), classifies changed vs unchanged, and
+    MERGEs. Output = the final manifest ⋈ per-doc line counts, which the
+    DuckDB oracle reproduces from the documents table alone — proving
+    the stream path converges to the exact batch-derivable state."""
+    import shutil
+    import tempfile
+
+    from semtools_spark.operators.workspace import Workspace
+    from semtools_spark.streaming.incremental import process_available
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    wave1 = base.withColumn("mtime", F.lit(1).cast("long"))
+    wave2 = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 20 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 20 == 0, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("mtime"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_sync_")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    ws = Workspace(spark, f"{root}/ws", dim=16, n_buckets=4)
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    process_available(spark, src, ws, ckpt)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    process_available(spark, src, ws, ckpt)
+
+    man = ws.manifest().select("doc", "size_bytes", "mtime", "_version")
+    nl = ws.lines().groupBy("doc").agg(F.count("*").cast("long").alias("n_lines"))
+    out = man.join(nl, "doc").select(
+        F.col("doc").cast("long"),
+        F.col("size_bytes").cast("long"),
+        F.col("mtime").cast("long"),
+        F.col("_version").cast("int"),
+        "n_lines",
+    )
+    rows = out.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def _q_stream_windowed(spark, sf_dir):
     """The streaming windowed aggregation's batch twin — the SAME function
     the watermarked stream runs (streaming/windows.py), certified here on
@@ -1063,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "stream_sessionize": _q_stream_sessionize,
         "stream_windowed_stats": _q_stream_windowed,
+        "stream_incremental_sync": _q_stream_incremental_sync,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
         "text_profile": _q_text_profile,
@@ -1488,6 +1542,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS BIGINT) AS user_id, session_id, "
             "count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us "
             "FROM s GROUP BY 1, 2"
+        ),
+        # final workspace state after the two-wave incremental stream:
+        # derivable from documents alone (wave-2 mutation is deterministic
+        # SQL); n_lines = split on \n with empty docs dropped (S1)
+        "stream_incremental_sync": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc, "
+            "CAST(length(CASE WHEN doc_id % 20 = 0 THEN upper(text) "
+            "ELSE text END) AS BIGINT) AS size_bytes, "
+            "CAST(CASE WHEN doc_id % 20 = 0 THEN 2 ELSE 1 END AS BIGINT) AS mtime, "
+            "CAST(1 AS INTEGER) AS _version, "
+            "CAST(len(string_split(CASE WHEN doc_id % 20 = 0 THEN upper(text) "
+            "ELSE text END, chr(10))) AS BIGINT) AS n_lines "
+            "FROM documents WHERE doc_id % 10 = 0 AND length(text) > 0"
         ),
         "stream_windowed_stats": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws_epoch, "
