@@ -450,3 +450,60 @@ def test_workspace_ann_index_search_and_staleness(spark, tmp_path):
     hit = ws.search("brand new doc", top_k=1, use_index=True).first()
     assert ws.last_search_index_type == "exact-cosine"  # fell back
     assert hit.doc == 99  # the stale index would have missed it
+
+
+def test_bucketed_merge_equivalent_to_legacy_under_random_ops(spark, tmp_path):
+    """Differential test of the r4 bucket-scoped MERGE: a seeded random
+    sequence of upserts and deletes applied to a bucketed table and to a
+    legacy whole-table layout must produce identical final contents —
+    the bucketing is physical layout only, never semantics."""
+    import random
+
+    rng = random.Random(20260817)
+    leg = str(tmp_path / "legacy_t")
+    buck = str(tmp_path / "bucketed_t")
+    key_space = list(range(60))
+
+    def make_updates(n):
+        ks = rng.sample(key_space, n)
+        return spark.createDataFrame(
+            [(k, f"v{rng.randint(0, 999)}", rng.randint(0, 9)) for k in ks],
+            "doc long, payload string, rev long",
+        )
+
+    for step in range(8):
+        if step % 3 == 2:
+            ks = rng.sample(key_space, rng.randint(1, 8))
+            keys = spark.createDataFrame([(k,) for k in ks], "doc long")
+            n_leg = W.delete_keys(spark, leg, keys, ("doc",))
+            n_buck = W.delete_keys(spark, buck, keys, ("doc",), num_buckets=8)
+            assert n_leg == n_buck, (step, n_leg, n_buck)
+        else:
+            upd = make_updates(rng.randint(1, 12))
+            W.merge_upsert(spark, leg, upd, ("doc",))
+            W.merge_upsert(spark, buck, upd, ("doc",), num_buckets=8)
+        a = spark.read.parquet(leg).select("doc", "payload", "rev")
+        b = spark.read.parquet(buck).drop(W.BUCKET_COL).select(
+            "doc", "payload", "rev"
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, step
+    # the bucketed side really is bucketed (not silently legacy)
+    assert W._bucket_ids(spark, buck)
+
+
+def test_legacy_table_migrates_to_bucketed_on_first_bucketed_merge(spark, tmp_path):
+    """A pre-r4 unbucketed table transparently migrates to the bucketed
+    layout on its first num_buckets MERGE, preserving all rows."""
+    t = str(tmp_path / "legacy_mig")
+    first = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(20)], "doc long, payload string"
+    )
+    W.merge_upsert(spark, t, first, ("doc",))  # legacy layout
+    assert not W._bucket_ids(spark, t)
+    upd = spark.createDataFrame([(3, "CHANGED"), (99, "NEW")],
+                                "doc long, payload string")
+    W.merge_upsert(spark, t, upd, ("doc",), num_buckets=8)
+    assert W._bucket_ids(spark, t)  # migrated
+    got = {r.doc: r.payload for r in
+           spark.read.parquet(t).drop(W.BUCKET_COL).collect()}
+    assert len(got) == 21 and got[3] == "CHANGED" and got[99] == "NEW"
