@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="insert an exact content-dedup stage between "
                          "parse and triples (min-url survivor per "
                          "byte-identical extracted text)")
+    ap.add_argument("--extractor", default=None, metavar="MODULE:FUNCTION",
+                    help="custom html extractor — a deterministic pure "
+                         "bytes->str function, imported by qualified name "
+                         "(the module must be importable on executors: "
+                         "ship it via --py-files). Default: the pinned "
+                         "JVM-regex extractor")
     ap.add_argument("--force", action="store_true",
                     help="recompute every stage, ignoring committed manifests")
     ap.add_argument("--cc-checkpoint", default=None,
@@ -62,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("run_kg")
 
+    extractor = None
+    if args.extractor:
+        import importlib
+
+        mod_name, _, fn_name = args.extractor.partition(":")
+        extractor = getattr(importlib.import_module(mod_name), fn_name)
+
     from semtools_spark import pipeline as P
 
     report = P.run_webkg_pipeline(
@@ -73,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         max_link_distance=args.max_link_distance,
         link_lsh_above=args.link_lsh_above,
         dedup_pages=args.dedup_pages,
+        extractor=extractor,
         force=args.force,
         cc_checkpoint_dir=args.cc_checkpoint,
     )

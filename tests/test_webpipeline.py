@@ -286,3 +286,32 @@ def test_pluggable_extractor_slot(spark, pages_path, tmp_path):
     r3 = run_webkg_pipeline(spark, pages_path, out, seed=SEED,
                             extractor=_shout_extractor)
     assert r3["stages"]["parse"]["skipped"]
+
+
+def test_run_kg_cli_extractor_flag(spark, pages_path, tmp_path):
+    """jobs/run_kg.py --extractor module:function: the named function runs
+    as the parse UDF (importable on executors, unlike a test closure).
+    Pointing it at the pinned extract_text must reproduce the default
+    graph exactly — same extraction logic through the Python-UDF path."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    try:
+        import run_kg
+    finally:
+        sys.path.pop(0)
+
+    out_udf = str(tmp_path / "kg_cli_udf")
+    rc = run_kg.main([
+        "--pages", pages_path, "--out", out_udf, "--seed", str(SEED),
+        "--extractor", "semtools_spark.operators.parse:extract_text",
+    ])
+    assert rc == 0
+    out_def = str(tmp_path / "kg_cli_def")
+    rc = run_kg.main(["--pages", pages_path, "--out", out_def,
+                      "--seed", str(SEED)])
+    assert rc == 0
+    a = spark.read.parquet(os.path.join(out_udf, "graph.parquet"))
+    b = spark.read.parquet(os.path.join(out_def, "graph.parquet"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
