@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="insert an exact content-dedup stage between "
                          "parse and triples (min-url survivor per "
                          "byte-identical extracted text)")
+    ap.add_argument("--dedup-near", action="store_true",
+                    help="insert a MinHash-LSH near-dup stage (banded "
+                         "candidates -> CC clusters -> min-url survivor) "
+                         "after parse/exact-dedup")
     ap.add_argument("--extractor", default=None, metavar="MODULE:FUNCTION",
                     help="custom html extractor — a deterministic pure "
                          "bytes->str function, imported by qualified name "
@@ -86,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         max_link_distance=args.max_link_distance,
         link_lsh_above=args.link_lsh_above,
         dedup_pages=args.dedup_pages,
+        dedup_near=args.dedup_near,
         extractor=extractor,
         force=args.force,
         cc_checkpoint_dir=args.cc_checkpoint,

@@ -133,6 +133,7 @@ def run_webkg_pipeline(
     max_link_distance: float | None = None,
     link_lsh_above: int | None = None,
     dedup_pages: bool = False,
+    dedup_near: bool = False,
     extractor=None,
     force: bool = False,
     fail_after: str | None = None,
@@ -147,7 +148,14 @@ def run_webkg_pipeline(
     byte-identical extracted text collapse to one survivor (min url),
     so boilerplate-duplicated pages don't inflate triple provenance.
     One extra shuffle on the 32-byte content hash; the stage is part of
-    the resume manifest like any other."""
+    the resume manifest like any other.
+
+    ``dedup_near=True`` additionally inserts a NEAR-dup stage (after the
+    exact one when both are on): banded MinHash-LSH candidate pairs →
+    connected components → one survivor per near-dup cluster (min url,
+    lexicographic — url string keys are first-class). Scale shape:
+    map-only signatures, bucket-keyed candidate join (never all-pairs,
+    hot buckets capped), CC shuffles only the pair relation."""
     hfs.mkdirs(spark, out_dir)
     manifest = CheckpointManifest(spark, out_dir)
     params = {
@@ -156,6 +164,7 @@ def run_webkg_pipeline(
         "max_link_distance": max_link_distance,
         "link_lsh_above": link_lsh_above,
         "dedup_pages": dedup_pages,
+        "dedup_near": dedup_near,
         # a custom extractor changes the parse output, so its identity
         # must invalidate the parse fingerprint (callables can't be
         # hashed portably — the qualified name is the resume contract:
@@ -167,10 +176,16 @@ def run_webkg_pipeline(
         ),
     }
     stages = list(STAGES)
+    if dedup_near:
+        stages.insert(1, "neardup")
     if dedup_pages:
         stages.insert(1, "dedup")
     paths = {s: f"{out_dir.rstrip('/')}/{s}.parquet" for s in stages}
-    triples_input = paths["dedup"] if dedup_pages else paths["parse"]
+    triples_input = (
+        paths["neardup"]
+        if dedup_near
+        else (paths["dedup"] if dedup_pages else paths["parse"])
+    )
     report: dict[str, dict] = {}
 
     def run_stage(name: str, input_paths: list[str], build) -> None:
@@ -274,6 +289,27 @@ def run_webkg_pipeline(
             )
 
         run_stage("dedup", [paths["parse"]], _build_dedup)
+
+    # 1c. optional near-dup collapse: MinHash-LSH pairs → CC clusters →
+    # min-url survivor per cluster (pages without any candidate pair are
+    # their own cluster and pass through)
+    if dedup_near:
+        neardup_input = paths["dedup"] if dedup_pages else paths["parse"]
+
+        def _build_neardup() -> DataFrame:
+            from semtools_spark.operators.dedup import near_dup_groups
+
+            pages = spark.read.parquet(neardup_input)
+            groups = near_dup_groups(pages, id_col="url", text_col="text")
+            # no broadcast hint: the survivor set scales with cluster
+            # count (unbounded at web scale) — AQE picks the strategy
+            keep = groups.filter(F.col("url") == F.col("group_id")).select("url")
+            clustered = groups.select("url")
+            return pages.join(clustered, "url", "left_anti").unionByName(
+                pages.join(keep, "url", "left_semi")
+            )
+
+        run_stage("neardup", [neardup_input], _build_neardup)
 
     # 2. triples: deterministic (subj, pred, obj) extraction, map-only
     run_stage(

@@ -311,3 +311,25 @@ def test_ann_recall_floors_vs_brute_force(spark, embeddings):
     r3, r5 = lsh_recall(3), lsh_recall(5)
     assert r3 >= 0.18, r3
     assert r5 <= r3, (r5, r3)  # finer buckets monotonically trade recall
+
+
+def test_multi_probe_signatures_match_numpy(spark, embeddings):
+    """multi_probe_signatures vs a full NumPy recomputation over the
+    testdata embeddings: probe_buckets[0] is the exact int signature and
+    the probe set flips exactly the n_probes lowest-|dot| bits in
+    confidence order (ties to the lower plane index)."""
+    n_planes, n_probes, dim = 6, 2, 64
+    got = {
+        r.vec_id: list(r.probe_buckets)
+        for r in similarity.multi_probe_signatures(
+            embeddings, n_planes=n_planes, dim=dim, seed=42, n_probes=n_probes
+        ).select("vec_id", "probe_buckets").collect()
+    }
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    W = similarity.int_plane_weights(n_planes, dim, 42)
+    for vid, vec in zip(pdf.vec_id, pdf.embedding):
+        d = np.floor(np.asarray(vec, np.float64) * 1e6).astype(np.int64) @ W.T
+        base = int(((d > 0).astype(np.int64) << np.arange(n_planes)).sum())
+        order = sorted(range(n_planes), key=lambda j: (abs(int(d[j])), j))
+        want = [base] + [base ^ (1 << j) for j in order[:n_probes]]
+        assert got[vid] == want, (vid, got[vid], want)

@@ -315,3 +315,42 @@ def test_run_kg_cli_extractor_flag(spark, pages_path, tmp_path):
     b = spark.read.parquet(os.path.join(out_def, "graph.parquet"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_pipeline_near_dup_stage(spark, pages_path, tmp_path):
+    """dedup_near=True: NEAR-duplicate pages (same html plus one appended
+    paragraph, new url) collapse to the lexicographic-min-url survivor —
+    the originals, since the injected copies sort under zzz:// — so the
+    noisy corpus's graph equals the clean corpus's graph under the same
+    flag. Exercises MinHash-LSH banding, CC clustering, and string (url)
+    keys through the pipeline's resume manifest."""
+    pages = spark.read.parquet(pages_path)
+    dups = pages.limit(30).select(
+        F.concat(F.lit("zzz://"), F.col("url")).alias("url"),
+        "warc_ts",
+        F.encode(
+            F.concat(F.decode("html", "UTF-8"), F.lit("<p>near dup marker</p>")),
+            "UTF-8",
+        ).alias("html"),
+        "text", "lang",
+    )
+    noisy_path = str(tmp_path / "near_noisy.parquet")
+    pages.unionByName(dups).write.parquet(noisy_path)
+
+    out_clean = str(tmp_path / "kg_nd_clean")
+    out_noisy = str(tmp_path / "kg_nd_noisy")
+    clean = run_webkg_pipeline(spark, pages_path, out_clean, seed=SEED,
+                               dedup_near=True)
+    noisy = run_webkg_pipeline(spark, noisy_path, out_noisy, seed=SEED,
+                               dedup_near=True)
+    # every injected near-copy was collapsed into its original's cluster
+    assert noisy["stages"]["neardup"]["rows"] == clean["stages"]["neardup"]["rows"]
+    surviving = {
+        r.url for r in spark.read.parquet(noisy["paths"]["neardup"]).collect()
+    }
+    assert not any(u.startswith("zzz://") for u in surviving)
+    g_clean = {tuple(r) for r in spark.read.parquet(clean["paths"]["graph"]).collect()}
+    g_noisy = {tuple(r) for r in spark.read.parquet(noisy["paths"]["graph"]).collect()}
+    assert g_clean == g_noisy
+    # non-vacuous: the noisy corpus really had the extra pages
+    assert spark.read.parquet(noisy_path).count() == N_PAGES + 30
