@@ -300,7 +300,12 @@ def run_webkg_pipeline(
             from semtools_spark.operators.dedup import near_dup_groups
 
             pages = spark.read.parquet(neardup_input)
-            groups = near_dup_groups(pages, id_col="url", text_col="text")
+            # lineage cut: groups feeds both the survivor and clustered
+            # branches — without it each branch re-runs the whole
+            # LSH+CC dataflow over the corpus
+            groups = near_dup_groups(
+                pages, id_col="url", text_col="text"
+            ).localCheckpoint(eager=False)
             # no broadcast hint: the survivor set scales with cluster
             # count (unbounded at web scale) — AQE picks the strategy
             keep = groups.filter(F.col("url") == F.col("group_id")).select("url")
