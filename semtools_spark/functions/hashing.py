@@ -119,17 +119,27 @@ def simhash64(words_col: str, bits: int = 32) -> Column:
     simhash bit j = (sum > 0). Packed little-endian into a BIGINT.
     32 bits (of the 32-bit md5-derived hash) keeps arithmetic in int64 in
     both engines. DuckDB mirror in tests/oracle uses identical formula.
-    """
+
+    Same one-md5-pass factoring as the minhash signature: the token
+    hashes are bound ONCE via a lambda variable, then each bit's
+    aggregate is pure integer work — not ``bits`` md5 passes."""
     terms = []
     for j in range(bits):
         # popcount-style: sign contribution of bit j across all tokens
         bitj = (
-            f"aggregate({words_col}, 0L, (acc, t) -> acc + "
-            f"CASE WHEN (conv(substring(md5(t), 1, 8), 16, 10) div {1 << j}) % 2 = 1 "
-            f"THEN 1 ELSE -1 END)"
+            f"aggregate(__sim_h, 0L, (acc, h) -> acc + "
+            f"CASE WHEN (h div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
         )
         terms.append(f"(CASE WHEN ({bitj}) > 0 THEN {1 << j}L ELSE 0L END)")
-    return F.expr(" + ".join(terms))
+    # bind the hashed-token array once with a single-element explode-free
+    # trick: transform over a 1-element array introduces __sim_h as a
+    # lambda variable scoping the whole sum
+    body = " + ".join(terms)
+    return F.expr(
+        f"transform(array(transform({words_col}, t -> "
+        f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))), "
+        f"__sim_h -> {body})[0]"
+    )
 
 
 def simhash_sql_duckdb(words_expr: str, bits: int = 32) -> str:
