@@ -712,6 +712,22 @@ def _q_dedup_lsh_pairs(spark, sf_dir):
     return pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
 
 
+def _q_dedup_lsh_verified(spark, sf_dir):
+    """The LSH→verify composition: banded-minhash candidate pairs scored
+    with EXACT shingle Jaccard — pairs attach their (distinct) shingle
+    arrays via two endpoint equi-joins (no pair enumeration, no
+    shingle-keyed self-join), one codegen array_intersect per pair."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=2
+    )
+    v = dedup.jaccard_verify_pairs(docs, pairs)
+    return v.select(
+        F.col("a").cast("long"), F.col("b").cast("long"),
+        "inter", "uni", "jac_micro",
+    )
+
+
 def _q_dedup_groups(spark, sf_dir):
     """Near-dup clustering: LSH candidate pairs → connected components →
     (doc_id, group_id). Oracle: the same pairs in SQL + a recursive-CTE
@@ -1104,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_lsh_verified": _q_dedup_lsh_verified,
         "dedup_groups": _q_dedup_groups,
         "dedup_embedding": _q_dedup_embedding,
         "ann_lsh_signature": _q_ann_lsh_signature,
@@ -1424,6 +1441,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": (
             f"{shingle_cte}, {_lsh_pairs_ctes(max_bucket_size=2)} "
             "SELECT a, b FROM pairs"
+        ),
+        "dedup_lsh_verified": (
+            f"{shingle_cte}, {_lsh_pairs_ctes(max_bucket_size=2)}, "
+            "scored AS (SELECT p.a, p.b, "
+            "CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS BIGINT) AS inter, "
+            "CAST(len(da.sh) AS BIGINT) AS na, CAST(len(db.sh) AS BIGINT) AS nb "
+            "FROM pairs p JOIN d da ON da.doc_id = p.a JOIN d db ON db.doc_id = p.b) "
+            "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, inter, "
+            "CAST(na + nb - inter AS BIGINT) AS uni, "
+            "CAST(CASE WHEN na + nb - inter > 0 THEN "
+            "floor((1000000 * inter) / (na + nb - inter)) ELSE 0 END AS BIGINT) AS jac_micro "
+            "FROM scored"
         ),
         "dedup_groups": (
             # min-label transitive closure over the same candidate pairs:

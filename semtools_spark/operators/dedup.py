@@ -220,6 +220,60 @@ def ngram_jaccard_pairs(
     return pairs.filter(F.col("jac_micro") >= min_jaccard_micro)
 
 
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for a GIVEN candidate-pair list — the verify
+    half of the standard LSH→verify dedup composition (ngram_jaccard_pairs
+    enumerates every overlapping pair in a block; this one scores only the
+    pairs a candidate generator produced).
+
+    Scale shape: the pair relation is ≪ the corpus, so the shingle sets
+    are attached by two equi-joins on the pair's endpoints — only docs
+    that appear in a pair carry their (distinct) shingle array through a
+    shuffle, and the intersection is one codegen ``array_intersect`` per
+    pair. No pair enumeration, no shingle-keyed self-join.
+
+    Input pairs: (a, b). Output: (a, b, inter, uni, jac_micro) with the
+    same integer contract as ngram_jaccard_pairs (floor micro-units).
+    """
+    sh = with_words(docs, text_col).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles("__w", shingle_n)).alias("__sh"),
+    )
+    needed = pairs.select(F.col("a").alias("__id")).union(
+        pairs.select(F.col("b").alias("__id"))
+    ).distinct()
+    sh = sh.join(needed, "__id", "left_semi")
+    out = (
+        pairs.join(
+            sh.select(F.col("__id").alias("a"), F.col("__sh").alias("__sa")), "a"
+        )
+        .join(sh.select(F.col("__id").alias("b"), F.col("__sh").alias("__sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long").alias("inter"),
+            (
+                F.size("__sa") + F.size("__sb")
+                - F.size(F.array_intersect("__sa", "__sb"))
+            ).cast("long").alias("uni"),
+        )
+        .withColumn(
+            "jac_micro",
+            F.when(
+                F.col("uni") > 0,
+                F.floor((F.lit(1000000) * F.col("inter")) / F.col("uni")),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    return out
+
+
 def near_dup_groups(
     docs: DataFrame,
     id_col: str = "doc_id",

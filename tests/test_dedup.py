@@ -143,3 +143,29 @@ def test_near_dup_groups_string_ids(spark):
     assert got.get("http://b/9") == "http://a/1"
     # the unrelated doc either forms no pair (absent) or its own group
     assert got.get("http://c/5", "http://c/5") == "http://c/5"
+
+
+def test_jaccard_verify_pairs_agrees_with_enumeration(spark):
+    """jaccard_verify_pairs (score a GIVEN pair list via endpoint joins)
+    must agree exactly with ngram_jaccard_pairs' enumeration on the pairs
+    the latter produces — same integer (inter, uni, jac_micro)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g", "en", "s1"),
+            (2, "a b c d e f h", "en", "s1"),
+            (3, "a b c x y z w", "en", "s1"),
+            (4, "q r s t u v w", "en", "s1"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    enumerated = {
+        (r.a, r.b): (r.inter, r.uni, r.jac_micro)
+        for r in dedup.ngram_jaccard_pairs(docs, max_shingle_df=None).collect()
+    }
+    assert enumerated, "precondition: overlapping pairs exist"
+    pairs = spark.createDataFrame(list(enumerated), ["a", "b"])
+    verified = {
+        (r.a, r.b): (r.inter, r.uni, r.jac_micro)
+        for r in dedup.jaccard_verify_pairs(docs, pairs).collect()
+    }
+    assert verified == enumerated
