@@ -798,14 +798,22 @@ def _q_ann_ivf_indexed(spark, sf_dir):
     as ann_ivf_topk with NO per-query assignment scan (the fractional
     scan proven in the physical plan; tests assert PartitionFilters and
     the pruned file count)."""
+    import shutil
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="semtools_ivf_gate_") + "/index"
+    root = tempfile.mkdtemp(prefix="semtools_ivf_gate_")
+    idx = root + "/index"
     similarity.ivf_build_index(emb, idx, n_centroids=8, dim=DIM)
-    return similarity.ivf_topk_indexed(spark, idx, _query_vec(), k=10, nprobe=2).select(
+    out = similarity.ivf_topk_indexed(spark, idx, _query_vec(), k=10, nprobe=2).select(
         F.col("vec_id").cast("long"), F.col("centroid_id").cast("int"), "dist_micro"
     )
+    # collect + clean up the on-disk index (it leaked one full index dir
+    # per trial, and bench trials silently re-timed a fresh build), then
+    # hand back a local DataFrame — same pattern as stream_incremental_sync
+    rows = out.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 IVF_TRAIN_SAMPLE = 2000  # deterministic sample bound shared with the oracle

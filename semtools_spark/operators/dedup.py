@@ -22,7 +22,7 @@ Every numeric output is integer arithmetic → bit-exact vs the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from semtools_spark.functions.hashing import (
@@ -106,12 +106,19 @@ def minhash_lsh_pairs(
         ).alias("band", "band_sig"),
     ).filter(~F.col("band_sig").contains("NULL") & (F.length("band_sig") > 0))
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_sig")
-        banded = (
-            banded.withColumn("__bn", F.count("*").over(w))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        # groupBy + anti-join-back, NOT a count window: the window form
+        # funnels the entire hot bucket through ONE shuffle partition to
+        # sort-and-count it — the guard becomes the bottleneck it guards
+        # against. groupBy partially aggregates map-side, the over-cap
+        # key list is tiny by construction, and AQE broadcasts the anti
+        # join — the banded rows never shuffle for the cap at all.
+        hot = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("band", "band_sig")
         )
+        banded = banded.join(hot, ["band", "band_sig"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -177,15 +184,22 @@ def ngram_jaccard_pairs(
         F.explode(sh).alias("s"),
     )
     if max_shingle_df is not None:
-        # one shuffle on the shingle (the same key the pair join needs);
-        # shingles are distinct per doc, so count(*) over s IS document
-        # frequency
-        wdf = Window.partitionBy("s")
-        tok = (
-            tok.withColumn("__df", F.count("*").over(wdf))
-            .filter(F.col("__df") <= max_shingle_df)
-            .drop("__df")
+        # shingles are distinct per doc, so count(*) per s IS document
+        # frequency. groupBy + anti-join-back, NOT a count window: the
+        # window shuffles every (id, shingle) row on s and then streams
+        # the hottest shingle ("the of a" at corpus df 10^7) through one
+        # sorting reducer — the exact hot key this cap exists to stop.
+        # The groupBy partial-aggregates map-side, the over-cap shingle
+        # list is tiny, and AQE broadcasts the anti join (re-running the
+        # shingle generator twice is pure codegen — measured cheaper than
+        # one full-data shuffle+sort by orders of magnitude at scale).
+        hot = (
+            tok.groupBy("s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("s")
         )
+        tok = tok.join(hot, "s", "left_anti")
     sizes = tok.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
     l, r = tok.alias("l"), tok.alias("r")
     cond = (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id"))
@@ -226,6 +240,7 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    strict: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard for a GIVEN candidate-pair list — the verify
     half of the standard LSH→verify dedup composition (ngram_jaccard_pairs
@@ -240,6 +255,15 @@ def jaccard_verify_pairs(
 
     Input pairs: (a, b). Output: (a, b, inter, uni, jac_micro) with the
     same integer contract as ngram_jaccard_pairs (floor micro-units).
+
+    **Drop semantics**: the endpoint joins are INNER — a pair whose id is
+    absent from ``docs`` (or whose id TYPE doesn't match ``id_col``'s) is
+    silently absent from the output, indistinguishable from an unscored
+    pair. Fine when ``pairs`` came from an LSH pass over the same
+    ``docs``; for externally supplied pair lists pass ``strict=True``,
+    which anti-joins the pair endpoints against the doc ids first and
+    raises with examples if any endpoint fails to resolve (one bounded
+    extra job over the small pair relation — never over the corpus).
     """
     sh = with_words(docs, text_col).select(
         F.col(id_col).alias("__id"),
@@ -248,6 +272,19 @@ def jaccard_verify_pairs(
     needed = pairs.select(F.col("a").alias("__id")).union(
         pairs.select(F.col("b").alias("__id"))
     ).distinct()
+    if strict:
+        unresolved = [
+            r["__id"]
+            for r in needed.join(
+                docs.select(F.col(id_col).alias("__id")), "__id", "left_anti"
+            ).limit(5).collect()
+        ]
+        if unresolved:
+            raise ValueError(
+                "jaccard_verify_pairs(strict=True): pair endpoints missing "
+                f"from docs (first {len(unresolved)}): {unresolved} — check "
+                "id values AND id column type"
+            )
     sh = sh.join(needed, "__id", "left_semi")
     out = (
         pairs.join(
@@ -369,12 +406,18 @@ def embedding_near_dups(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
     )
     if max_block_size is not None:
-        wb = Window.partitionBy("blk")
-        d = (
-            d.withColumn("__bn", F.count("*").over(wb))
-            .filter(F.col("__bn") <= max_block_size)
-            .drop("__bn")
+        # groupBy + anti-join-back, NOT a count window: the window form
+        # shuffles every row WITH its embedding vector on blk and sorts
+        # the hot block under one reducer; the groupBy branch is pruned
+        # to the blk column alone, partial-aggregates map-side, and the
+        # tiny over-cap block list anti-joins back via AQE broadcast.
+        hot = (
+            d.groupBy("blk")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > max_block_size)
+            .select("blk")
         )
+        d = d.join(hot, "blk", "left_anti")
     l, r = d.alias("l"), d.alias("r")
     pairs = l.join(
         r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))

@@ -655,23 +655,49 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
 
 def canonicalize_mentions(
     linked: DataFrame,
-    mention_offset: int = 1_000_000_000,
+    mention_offset: int = 1 << 62,
     cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Surface-form canonicalization: union mention→entity links into a
     bipartite graph (mentions offset into a disjoint id space), run CC,
     and return (mention, canonical_id). Two surface forms linked to the
     same entity — or transitively via shared entities — canonicalize
-    together."""
+    together.
+
+    Mention node ids occupy ``[mention_offset, 2*mention_offset)`` —
+    the FULL upper half of the non-negative 63-bit long range by default
+    (reserved high bit, entities confined below). The r3 scheme pmod'd
+    into a 10^9 space, where distinct surface forms birthday-collide at
+    ~3*10^4 forms and a collision silently FUSES two unrelated canonical
+    clusters; at 2^62 the same expectation needs ~3*10^9 distinct forms.
+    Entity ids must stay below ``mention_offset`` — enforced per row by
+    a codegen assert (catalog ids are small ints, so the check is free;
+    a violation is a wrong-answer hazard, not a recoverable state).
+
+    Output never contains a mention node id: every linked mention has an
+    entity edge, entity ids are strictly smaller than mention nodes, and
+    CC's component id is the min node id — so ``canonical_id`` is always
+    an entity id and is deterministic regardless of the mention-node
+    hashing scheme."""
     # pmod, not abs(hash) % n: abs(Long.MIN_VALUE) overflows BIGINT (an
     # error under ANSI), and xxhash64 WILL hit it once in ~2^64 rows —
     # certain at 10^12-document scale
+    entity_in_range = F.assert_true(
+        F.col("entity_id") < F.lit(mention_offset),
+        F.lit(
+            f"entity_id >= mention_offset ({mention_offset}): entity and "
+            "mention node id spaces would overlap and CC would fuse them"
+        ),
+    )
     m_ids = linked.select(
         "mention",
         (F.pmod(F.xxhash64("mention"), F.lit(mention_offset)) + F.lit(mention_offset)).alias(
             "mention_node"
         ),
-        "entity_id",
+        # assert_true is NULL whenever the guard passes, so the coalesce
+        # is the identity — but it ties the assert into a live column so
+        # column pruning can't drop the check
+        F.coalesce(entity_in_range.cast("long"), F.col("entity_id")).alias("entity_id"),
     )
     edges = m_ids.select(
         F.col("mention_node").alias("src"), F.col("entity_id").alias("dst")

@@ -545,6 +545,11 @@ class Workspace:
         )
         if text is None:
             return False
+        # a fingerprint can outlive its table (delete() removes the lines
+        # root when every bucket empties): an absent table is STALE, not
+        # a listing crash inside stats()/search()
+        if not hfs.exists(self.spark, self.lines_path):
+            return False
         return json.loads(text)["lines_md5"] == self._lines_fingerprint()
 
     # ---- W5/W6: filtered search ----------------------------------------
@@ -656,11 +661,20 @@ class Workspace:
         from semtools_spark.operators.search import attach_context
 
         p = {**self.AGENT_SEARCH_DEFAULTS, **overrides}
+        lines = self.lines()
+        if lines is None:
+            # empty workspace: same contract as search() — an empty
+            # result in the tool's schema, not a crash
+            return self.spark.createDataFrame(
+                [],
+                f"doc {self._doc_key_type()}, start int, end int, "
+                "match_line int, distance double, content string",
+            )
         hits = self.search(
             query, top_k=p["top_k"], max_distance=p["max_distance"],
             doc_subset=doc_subset, ignore_case=p["ignore_case"],
         )
-        stored = self.lines().select("doc", "line_no", "line")
+        stored = lines.select("doc", "line_no", "line")
         out = attach_context(
             hits.select("doc", "line_no", "distance"), stored, p["n_lines"]
         )

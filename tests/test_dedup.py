@@ -169,3 +169,59 @@ def test_jaccard_verify_pairs_agrees_with_enumeration(spark):
         for r in dedup.jaccard_verify_pairs(docs, pairs).collect()
     }
     assert verified == enumerated
+
+
+def test_jaccard_verify_pairs_strict_raises_on_unresolved(spark):
+    """strict=True surfaces pair endpoints absent from docs (the default
+    inner-join silently drops them — fine for pairs generated from the
+    same docs, a silent hole for externally supplied lists)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 99)], ["a", "b"])
+    # default: the unresolved pair is silently absent
+    assert {(r.a, r.b) for r in dedup.jaccard_verify_pairs(docs, pairs).collect()} == {(1, 2)}
+    with pytest.raises(ValueError, match="99"):
+        dedup.jaccard_verify_pairs(docs, pairs, strict=True).collect()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_hot_key_caps_have_no_window_node(spark, hot_docs):
+    """VERDICT r4 'wrong' #2: the three hot-key caps must be groupBy +
+    anti-join-back (map-side partial agg), never a count window — the
+    window funnels the entire hot bucket through ONE shuffle partition to
+    sort-and-count it, making the guard the bottleneck it guards against.
+    Assert the Window operator is gone from all three dataflows."""
+    jac = dedup.ngram_jaccard_pairs(hot_docs, max_shingle_df=5)
+    assert "Window" not in _optimized_plan(jac)
+
+    lsh = dedup.minhash_lsh_pairs(hot_docs, num_hashes=8, bands=4, max_bucket_size=10)
+    assert "Window" not in _optimized_plan(lsh)
+
+    emb = spark.createDataFrame(
+        [(i, "b0", [1.0, 0.0, 0.0, float(i % 3)]) for i in range(6)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    nd = dedup.embedding_near_dups(emb, max_block_size=5)
+    assert "Window" not in _optimized_plan(nd)
+
+
+def test_hot_key_caps_same_output_as_window_semantics(spark, hot_docs):
+    """The rewrite must be output-identical to the window form: keys with
+    count <= cap keep ALL their rows, keys above lose all of them."""
+    jac_capped = {
+        (r.a, r.b) for r in dedup.ngram_jaccard_pairs(hot_docs, max_shingle_df=5).collect()
+    }
+    assert jac_capped == {(40, 41)}
+    # cap high enough to keep everything -> identical to uncapped
+    all_pairs = {
+        (r.a, r.b)
+        for r in dedup.ngram_jaccard_pairs(hot_docs, max_shingle_df=10_000).collect()
+    }
+    uncapped = {
+        (r.a, r.b) for r in dedup.ngram_jaccard_pairs(hot_docs, max_shingle_df=None).collect()
+    }
+    assert all_pairs == uncapped

@@ -134,6 +134,42 @@ def test_canonicalize_merges_shared_entity(spark):
     assert canon["table"] == 2
 
 
+def test_canonicalize_no_id_space_collision(spark):
+    """mention_234 and mention_13387 collide under the r3 scheme
+    (pmod(xxhash64, 1e9): both -> 720555670) — in a 10^9 id space,
+    distinct surface forms birthday-collide at ~3*10^4 forms and the
+    collision silently FUSES their clusters. The 62-bit space must keep
+    them apart: linked to different entities, they must NOT share a
+    canonical_id."""
+    from pyspark.sql import functions as F
+
+    a, b = "mention_234", "mention_13387"
+    collide = (
+        spark.createDataFrame([(a,), (b,)], ["m"])
+        .select(F.pmod(F.xxhash64("m"), F.lit(1_000_000_000)).alias("k"))
+        .distinct()
+        .count()
+    )
+    assert collide == 1  # the planted pair really collides mod 1e9
+    linked = spark.createDataFrame([(a, 1), (b, 2)], ["mention", "entity_id"])
+    canon = {r.mention: r.canonical_id for r in kg.canonicalize_mentions(linked).collect()}
+    assert canon[a] == 1 and canon[b] == 2
+    assert canon[a] != canon[b]
+
+
+def test_canonicalize_rejects_entity_id_in_mention_space(spark):
+    """The id-space disjointness is enforced, not assumed: an entity id
+    at/above mention_offset would overlap the mention node space and CC
+    would fuse unrelated clusters — the guard must raise instead."""
+    import pytest as _pytest
+
+    linked = spark.createDataFrame(
+        [("spark", (1 << 62) + 7)], ["mention", "entity_id"]
+    )
+    with _pytest.raises(Exception, match="entity_id"):
+        kg.canonicalize_mentions(linked).collect()
+
+
 def test_kg_pipeline_on_testdata(documents):
     out = kg.kg_pipeline(documents).collect()
     assert len(out) > 10

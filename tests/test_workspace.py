@@ -507,3 +507,30 @@ def test_legacy_table_migrates_to_bucketed_on_first_bucketed_merge(spark, tmp_pa
     got = {r.doc: r.payload for r in
            spark.read.parquet(t).drop(W.BUCKET_COL).collect()}
     assert len(got) == 21 and got[3] == "CHANGED" and got[99] == "NEW"
+
+
+def test_agent_search_on_empty_workspace(spark, tmp_path):
+    """VERDICT r4 'wrong' #5: agent_search on a never-synced workspace
+    crashed (self.lines() is None); it must return the empty tool-result
+    schema like search() does."""
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16)
+    out = ws.agent_search("anything")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc", "start", "end", "match_line", "distance", "content"
+    ]
+
+
+def test_stats_survives_deleted_lines_table_with_index_fingerprint(spark, tmp_path, docs):
+    """ADVICE r4: delete() of every doc removes the lines table root; a
+    leftover ANN-index fingerprint must then read as STALE (exact-cosine),
+    not crash stats()/search() with a listing error on the missing path."""
+    ws = W.Workspace(spark, str(tmp_path / "ws"), dim=16, n_buckets=2)
+    ws.sync(docs, mtime_col="mtime")
+    ws.build_ann_index(n_centroids=2)
+    assert ws.ann_index_fresh()
+    ws.delete([1, 2, 3])
+    st = ws.stats()  # must not raise
+    assert st["index_type"] == "exact-cosine"
+    assert st["total_lines"] == 0
+    assert ws.search("alpha").collect() == []
