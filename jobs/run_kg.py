@@ -49,7 +49,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="custom html extractor — a deterministic pure "
                          "bytes->str function, imported by qualified name "
                          "(the module must be importable on executors: "
-                         "ship it via --py-files). Default: the pinned "
+                         "ship it via --py-files). For real crawl HTML use "
+                         "the shipped text-density extractor: "
+                         "semtools_spark.operators.html_extract:"
+                         "extract_main_text. Default: the pinned "
                          "JVM-regex extractor")
     ap.add_argument("--force", action="store_true",
                     help="recompute every stage, ignoring committed manifests")

@@ -81,6 +81,23 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
+    """Atomically create ``path`` with ``text`` iff it does not exist
+    (Hadoop ``create(overwrite=false)`` — the namenode arbitrates, so two
+    racing creators resolve to exactly one winner on HDFS/local). Returns
+    False if the path already existed. The lock-claim primitive."""
+    fs, p = fs_and_path(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Contents of a small text file, or None if it does not exist."""
     fs, p = fs_and_path(spark, path)

@@ -224,9 +224,13 @@ def link_entities(
       still links. Exact surface-form matches always collide (identical
       vector ⇒ identical signature).
 
-    Returns (mention, entity_id, link_distance). Distinct mentions are
-    linked once, then the (small) mapping can be broadcast-joined back to
-    the full mention stream by the caller.
+    Returns (mention, entity_id, link_distance, rescued). ``rescued`` is
+    False everywhere on the broadcast path (it is exact); on the LSH path
+    it marks links produced by the bounded best-effort rescue tier —
+    approximate by construction, so quality-sensitive callers threshold
+    them (``max_distance`` applies to rescue rows like any other).
+    Distinct mentions are linked once, then the (small) mapping can be
+    broadcast-joined back to the full mention stream by the caller.
 
     ``catalog_size`` (optional) is a known-row-count hint that skips the
     strategy-picking ``count()`` job when ``use_lsh_above`` is set —
@@ -259,7 +263,10 @@ def link_entities(
         broadcasts = [bc]
         _link = _make_link_udf(bc, dim, seed)
         linked = distinct_m.withColumn("__l", _link(F.col("mention"))).select(
-            "mention", F.col("__l.entity_id"), F.col("__l.link_distance")
+            "mention",
+            F.col("__l.entity_id"),
+            F.col("__l.link_distance"),
+            F.lit(False).alias("rescued"),
         )
     if max_distance is not None:
         linked = linked.filter(F.col("link_distance") < float(max_distance))
@@ -294,11 +301,16 @@ def _link_entities_lsh(
        empty usually collides in a flipped-bit bucket — misses become
        rare instead of common under skewed embedding mass.
     3. **rescue**: the remaining misses score against a BOUNDED catalog
-       subset (first ``max_rescue_catalog`` entities by id —
-       TakeOrdered, no full sort) via the same broadcast Arrow matmul as
-       the small-catalog path: map-only, memory bounded by the cap, best
-       effort by construction (a rescue link is approximate; tiers 1-2
-       make reaching it rare). Every mention still links.
+       subset — a SEEDED PSEUDO-RANDOM sample of ``max_rescue_catalog``
+       entities (order by xxhash64(entity_id, seed), TakeOrdered — no
+       full sort, deterministic per seed; r4 took "first N by id", a
+       biased subset that systematically excluded high-id entities) via
+       the same broadcast Arrow matmul as the small-catalog path:
+       map-only, memory bounded by the cap, best effort by construction
+       (tiers 1-2 make reaching it rare). Every mention still links, and
+       every rescue row is flagged ``rescued=true`` so callers can
+       threshold or drop approximate links (pair with ``max_distance``
+       to make a wrong-sample rescue filterable).
     """
     from semtools_spark.embedding import embed_udf
     from semtools_spark.functions.vectors import cosine_distance_expr
@@ -341,7 +353,9 @@ def _link_entities_lsh(
     )
     sample = (
         catalog.select("entity_id", "embedding")
-        .orderBy("entity_id")
+        # seeded pseudo-random subset: unbiased across the id range and
+        # deterministic per seed; limit over this sort is TakeOrdered
+        .orderBy(F.xxhash64(F.col("entity_id"), F.lit(seed)), F.col("entity_id"))
         .limit(max_rescue_catalog)
         .toPandas()
     )
@@ -352,9 +366,12 @@ def _link_entities_lsh(
     bc = spark.sparkContext.broadcast((ids, (mat / norms[:, None]).astype(np.float32)))
     _link = _make_link_udf(bc, dim, seed)
     rescue = missed.withColumn("__l", _link(F.col("mention"))).select(
-        "mention", F.col("__l.entity_id"), F.col("__l.link_distance")
+        "mention",
+        F.col("__l.entity_id"),
+        F.col("__l.link_distance"),
+        F.lit(True).alias("rescued"),
     )
-    out = top1.unionByName(rescue)
+    out = top1.withColumn("rescued", F.lit(False)).unionByName(rescue)
     out._semtools_broadcasts = [bc]
     return out
 

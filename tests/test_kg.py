@@ -485,3 +485,50 @@ def test_link_entities_catalog_size_hint_skips_count(spark):
         ).collect()
     }
     assert got == {"spark": 0, "row": 2}
+
+
+def test_lsh_rescue_sample_is_seeded_and_flagged(spark):
+    """VERDICT r4 next #5: the rescue tier scores against a SEEDED random
+    catalog sample (not first-N-by-id) and emits rescued=true so callers
+    can threshold approximate links; exact bucket-tier links carry
+    rescued=false and survive a tight max_distance filter that drops the
+    rescue rows."""
+    from pyspark.sql import functions as F
+
+    names = [f"entity number {i}" for i in range(50)]
+    catalog = kg.build_entity_catalog(spark, names, dim=64)
+    mentions = spark.createDataFrame(
+        [("entity number 5",), ("qqj zvx wpl",), ("mrr kkt nqq",)], ["mention"]
+    )
+    # 16 planes over 50 entities → nonsense mentions miss every probe
+    # bucket and fall through to the rescue tier (verified non-vacuous
+    # below); the rescue catalog is a 5-entity seeded sample
+    linked = kg._link_entities_lsh(
+        mentions, catalog, dim=64, seed=42, n_planes=16, n_probes=1,
+        max_rescue_catalog=5,
+    )
+    rows = {r.mention: r for r in linked.collect()}
+    assert len(rows) == 3  # every mention links
+    exact = rows["entity number 5"]
+    assert not exact.rescued and exact.entity_id == 5 and exact.link_distance < 1e-6
+    rescued = [r for r in rows.values() if r.rescued]
+    assert rescued, "preconditions: no mention reached the rescue tier"
+    # every rescue row is approximate — and therefore filterable:
+    tight = linked.filter(F.col("link_distance") < 1e-6).collect()
+    assert [r.mention for r in tight] == ["entity number 5"]
+    # determinism: same seed → same links
+    again = {r.mention: (r.entity_id, r.rescued) for r in kg._link_entities_lsh(
+        mentions, catalog, dim=64, seed=42, n_planes=16, n_probes=1,
+        max_rescue_catalog=5,
+    ).collect()}
+    assert again == {m: (r.entity_id, r.rescued) for m, r in rows.items()}
+
+
+def test_link_entities_rescued_column_uniform(spark):
+    """Both physical strategies return the same schema: the broadcast
+    (exact) path emits rescued=false everywhere."""
+    catalog = kg.build_entity_catalog(spark, ["spark", "table"], dim=64)
+    mentions = spark.createDataFrame([("spark",), ("xyz",)], ["mention"])
+    out = kg.link_entities(mentions, catalog, dim=64)
+    assert "rescued" in out.columns
+    assert all(not r.rescued for r in out.collect())

@@ -413,8 +413,9 @@ def test_workspace_ann_index_search_and_staleness(spark, tmp_path):
     """Persistent IVF index over the workspace (reference persists HNSW,
     store.rs:146-177): full-probe indexed search equals the exact scan;
     stats/last_search_index_type report the physical path; a sync AFTER
-    the build makes the index stale and search falls back to exact
-    instead of silently missing the new lines."""
+    the build MAINTAINS the index incrementally (r5 — reference upserts
+    into its HNSW, store.rs:402-434), while a delete leaves it stale and
+    search falls back to exact instead of reading evicted lines."""
     root = str(tmp_path / "ws_ann")
     ws = W.Workspace(spark, root, dim=16, n_buckets=4)
     docs = spark.createDataFrame(
@@ -440,16 +441,26 @@ def test_workspace_ann_index_search_and_staleness(spark, tmp_path):
     assert ws.search("text body number 7", top_k=3, use_index=True,
                      nprobe=1).count() <= 3
 
+    # incremental maintenance: a sync keeps the index FRESH and the new
+    # doc is searchable THROUGH it (full probe so centroid choice can't
+    # hide the row)
     ws.sync(
         spark.createDataFrame([(99, "brand new doc", 99)],
                               ["doc_id", "text", "mtime"]),
         mtime_col="mtime",
     )
+    assert ws.ann_index_fresh()
+    assert ws.stats()["index_type"] == "ivf-indexed"
+    hit = ws.search("brand new doc", top_k=1, use_index=True, nprobe=4).first()
+    assert ws.last_search_index_type == "ivf-indexed"
+    assert hit.doc == 99
+
+    # delete() does NOT maintain the index → stale → exact fallback
+    ws.delete([99])
     assert not ws.ann_index_fresh()
     assert ws.stats()["index_type"] == "exact-cosine"
-    hit = ws.search("brand new doc", top_k=1, use_index=True).first()
+    ws.search("text body number 7", top_k=1, use_index=True).first()
     assert ws.last_search_index_type == "exact-cosine"  # fell back
-    assert hit.doc == 99  # the stale index would have missed it
 
 
 def test_bucketed_merge_equivalent_to_legacy_under_random_ops(spark, tmp_path):
@@ -534,3 +545,210 @@ def test_stats_survives_deleted_lines_table_with_index_fingerprint(spark, tmp_pa
     assert st["index_type"] == "exact-cosine"
     assert st["total_lines"] == 0
     assert ws.search("alpha").collect() == []
+
+
+def test_crash_between_move_aside_and_commit_rolls_back(spark, tmp_path, docs, monkeypatch):
+    """ADVICE r4 (medium): a crash BETWEEN rename(dst->old) and
+    rename(src->dst) leaves bucket k's only copy in the .__old_ dir. The
+    sweep must ROLL IT BACK (not delete it) — on the next open as well as
+    the next mutation — so no rows are ever lost."""
+    import os
+
+    from semtools_spark import fs as hfs
+
+    root = str(tmp_path / "ws_rollback")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=2)
+    ws.sync(docs, mtime_col="mtime")
+    before_lines = {tuple(r) for r in ws.lines().select("doc", "line_no", "line").collect()}
+
+    real_rename = hfs.rename
+
+    def crash_after_move_aside(spark_, src, dst):
+        if ".__old_" in dst:
+            return real_rename(spark_, src, dst)  # the move-aside lands
+        raise RuntimeError("injected kill between move-aside and commit")
+
+    changed = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 2, F.lit("edited")).otherwise(F.col("text"))
+    )
+    monkeypatch.setattr(hfs, "rename", crash_after_move_aside)
+    with pytest.raises(Exception, match="injected kill"):
+        ws.sync(changed, mtime_col="mtime")
+    monkeypatch.setattr(hfs, "rename", real_rename)
+    # the crash window is real: an .__old_ dir holds the moved-aside bucket
+    assert any(".__old_" in d for d in os.listdir(root)), "no move-aside left behind"
+
+    # a FRESH open repairs before any read — nothing lost
+    ws2 = W.Workspace(spark, root, dim=16)
+    assert {
+        tuple(r) for r in ws2.lines().select("doc", "line_no", "line").collect()
+    } == before_lines
+    assert not any(".__old_" in d or ".__tmp_" in d for d in os.listdir(root))
+
+    # and the idempotent re-run converges to the intended state
+    ws2.sync(changed, mtime_col="mtime")
+    assert [r.line for r in ws2.lines().filter(F.col("doc") == 2).select("line").collect()] == ["edited"]
+
+
+def test_writer_lease_blocks_live_writer_reclaims_stale(spark, tmp_path, docs):
+    """VERDICT r4 next #7: the single-writer assumption is enforced — a
+    live foreign lease makes mutations raise ConcurrentWriterError; a
+    stale lease (crashed writer) is reclaimed and the mutation proceeds."""
+    import json
+    import time
+
+    from semtools_spark import fs as hfs
+
+    root = str(tmp_path / "ws_lease")
+    ws = W.Workspace(spark, root, dim=16)
+    lease = f"{root}/{W.Workspace.LEASE_FILE}"
+
+    hfs.write_text(spark, lease, json.dumps(
+        {"host": "other", "pid": 1, "ts": time.time(), "token": "foreign"}
+    ))
+    with pytest.raises(W.ConcurrentWriterError, match="other"):
+        ws.sync(docs, mtime_col="mtime")
+
+    hfs.delete(spark, lease)
+    hfs.write_text(spark, lease, json.dumps(
+        {"host": "other", "pid": 1, "ts": time.time() - 10 * W.DEFAULT_LEASE_TTL_SEC,
+         "token": "foreign"}
+    ))
+    counts = ws.sync(docs, mtime_col="mtime")  # stale lease reclaimed
+    assert counts == {"new": 3}
+    # lease released after the mutation
+    assert hfs.read_text(spark, lease) is None
+
+
+def test_rebucket_migration_preserves_data_and_merge(spark, tmp_path, docs):
+    """VERDICT r4 next #6: rebucket(n) migrates both tables to a new
+    bucket count; data identical, config updated, a reopened workspace
+    sees the new count, and W3 MERGE afterwards still dedups keys."""
+    root = str(tmp_path / "ws_rebucket")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=2)
+    ws.sync(docs, mtime_col="mtime")
+    before = {tuple(r) for r in ws.lines().select("doc", "line_no", "line").collect()}
+
+    ws.rebucket(8)
+    assert ws.n_buckets == 8
+    assert set(W._bucket_ids(spark, ws.lines_path)) <= set(range(8))
+    assert {tuple(r) for r in ws.lines().select("doc", "line_no", "line").collect()} == before
+
+    ws2 = W.Workspace(spark, root)  # fresh open reads config
+    assert ws2.n_buckets == 8
+    changed = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 1, F.lit("post-rebucket")).otherwise(F.col("text"))
+    )
+    ws2.sync(changed, mtime_col="mtime")
+    assert ws2.stats()["total_documents"] == 3  # no duplicate keys
+    got = [r.line for r in ws2.lines().filter(F.col("doc") == 1).select("line").collect()]
+    assert got == ["post-rebucket"]
+
+
+def test_rebucket_crash_is_finished_on_next_open(spark, tmp_path, docs):
+    """A crash mid-rebucket leaves the intent journal; the next open must
+    finish the migration (config count == journal count) — otherwise
+    MERGE computes touched buckets under the wrong modulus and keys stop
+    deduplicating."""
+    import json
+
+    from semtools_spark import fs as hfs
+
+    root = str(tmp_path / "ws_rbcrash")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=2)
+    ws.sync(docs, mtime_col="mtime")
+    # simulate: journal written, then crash before any rewrite
+    hfs.write_text(
+        spark, f"{root}/{W.Workspace.REBUCKET_FILE}", json.dumps({"n_buckets": 4})
+    )
+    ws2 = W.Workspace(spark, root)
+    assert ws2.n_buckets == 4
+    assert hfs.read_text(spark, f"{root}/{W.Workspace.REBUCKET_FILE}") is None
+    assert ws2.stats() ["total_lines"] == 4
+
+
+def test_buckets_for_bytes_formula(spark, tmp_path):
+    assert W.buckets_for_bytes(1) == 1
+    assert W.buckets_for_bytes(W.TARGET_BUCKET_BYTES) == 1
+    assert W.buckets_for_bytes(10 * W.TARGET_BUCKET_BYTES) == 16  # next pow2
+    assert W.buckets_for_bytes(100 * 10**12) == 1 << 19  # 100 TB
+    ws = W.Workspace(
+        spark, str(tmp_path / "ws_sized"), dim=16,
+        expected_table_bytes=10 * W.TARGET_BUCKET_BYTES,
+    )
+    assert ws.n_buckets == 16
+
+
+def test_sync_shrunk_doc_replaces_all_lines(spark, tmp_path, docs):
+    """Found while testing rebucket: a changed doc that SHRINKS (3 lines
+    -> 1) must not keep its stale tail lines — the MERGE replace scope is
+    the doc, not the (doc, line_no) key (store.rs:373-434 replaces a
+    document's points wholesale)."""
+    ws = W.Workspace(spark, str(tmp_path / "ws_shrink"), dim=16)
+    ws.sync(docs, mtime_col="mtime")
+    assert ws.lines().filter(F.col("doc") == 1).count() == 2
+    shrunk = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 1, F.lit("only line")).otherwise(F.col("text"))
+    )
+    ws.sync(shrunk, mtime_col="mtime")
+    got = [r.line for r in ws.lines().filter(F.col("doc") == 1).collect()]
+    assert got == ["only line"]
+
+
+def test_ann_index_incremental_delta_byte_identity(spark, tmp_path):
+    """VERDICT r4 next #4 done-criterion: build index → sync a delta →
+    index still fresh, UNTOUCHED centroid partitions byte-identical on
+    disk, the changed doc's old line evicted and its new line searchable
+    through the index (use_index=True)."""
+    import hashlib
+    import os
+
+    root = str(tmp_path / "ws_anndelta")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=4)
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i}", i) for i in range(40)],
+        ["doc_id", "text", "mtime"],
+    )
+    ws.sync(docs, mtime_col="mtime")
+    ws.build_ann_index(n_centroids=8)
+
+    def part_state(idx_root):
+        out = {}
+        for d in sorted(os.listdir(idx_root)):
+            if d.startswith("centroid_id="):
+                h = hashlib.md5()
+                for f in sorted(os.listdir(os.path.join(idx_root, d))):
+                    h.update(f.encode())
+                    with open(os.path.join(idx_root, d, f), "rb") as fh:
+                        h.update(fh.read())
+                out[d] = h.hexdigest()
+        return out
+
+    before = part_state(ws.ann_index_path)
+    assert len(before) >= 3, "need several inverted lists for the test to bite"
+
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("changed payload seven"))
+        .otherwise(F.col("text")),
+    ).withColumn(
+        "mtime",
+        F.when(F.col("doc_id") == 7, F.lit(1000)).otherwise(F.col("mtime")),
+    )
+    counts = ws.sync(changed, mtime_col="mtime")
+    assert counts.get("changed") == 1
+
+    assert ws.ann_index_fresh()
+    after = part_state(ws.ann_index_path)
+    diff = {k for k in set(before) | set(after) if before.get(k) != after.get(k)}
+    # at most the old line's list and the new line's list were rewritten
+    assert len(diff) <= 2
+    assert len(set(before) | set(after)) - len(diff) >= 1, "no untouched partition left"
+
+    idx = spark.read.parquet(ws.ann_index_path)
+    got = [r.line for r in idx.filter(F.col("doc") == 7).select("line").collect()]
+    assert got == ["changed payload seven"]  # old line evicted, new present
+
+    hit = ws.search("changed payload seven", top_k=1, use_index=True, nprobe=8).first()
+    assert ws.last_search_index_type == "ivf-indexed"
+    assert hit.doc == 7
