@@ -736,6 +736,35 @@ def _q_dedup_groups(spark, sf_dir):
     return g.select(F.col("doc_id").cast("long"), F.col("group_id").cast("long"))
 
 
+def _q_neardup_survivor_triples(spark, sf_dir):
+    """The pipeline's NEAR-dup stage as a gated prefix (pipeline.py
+    dedup_near=True — r4 left it pytest-only): LSH candidate pairs → CC
+    clusters → min-id survivor per cluster (unclustered docs pass
+    through) → triples from survivors only. NON-VACUOUS: the corpus is
+    doubled with id-shifted byte-identical copies, which are also
+    near-dups (identical shingle sets ⇒ identical minhash bands), so the
+    stage must collapse every planted pair back to its original. Oracle:
+    the same pairs in SQL, a recursive-CTE min-label closure, survivor
+    filter, then the shared triples rendering."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = base.union(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    # lineage cut mirrors the pipeline stage: groups feeds both branches
+    groups = dedup.near_dup_groups(noisy, num_hashes=8, bands=4).localCheckpoint(
+        eager=False
+    )
+    keep = groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id")
+    survivors = noisy.join(groups.select("doc_id"), "doc_id", "left_anti").unionByName(
+        noisy.join(keep, "doc_id", "left_semi")
+    )
+    return kg.extract_triples(survivors).select(
+        F.col("doc").cast("long").alias("doc"),
+        F.col("pos").cast("int").alias("pos"),
+        "subj", "pred", "obj",
+    )
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Blocked embedding near-dups with the oversized-block guard ENGAGED
     (max_block_size=55 — non-vacuous at sf0.01: label 3 holds 59 vectors
@@ -1130,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
         "dedup_groups": _q_dedup_groups,
+        "neardup_survivor_triples": _q_neardup_survivor_triples,
         "dedup_embedding": _q_dedup_embedding,
         "ann_lsh_signature": _q_ann_lsh_signature,
         "ann_lsh_knn": _q_ann_lsh_knn,
@@ -1475,6 +1505,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.a AS n, w.m FROM edges e JOIN walk w ON e.b = w.n) "
             "SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS group_id "
             "FROM walk GROUP BY n"
+        ),
+        # pipeline near-dup stage end-to-end: planted id-shifted copies →
+        # LSH pairs → recursive-CTE min-label closure → min-id survivor
+        # per cluster (unclustered docs pass) → shared triples rendering
+        "neardup_survivor_triples": kg.extract_triples_oracle_sql(
+            table="survivors"
+        ).replace(
+            "WITH words AS",
+            "WITH RECURSIVE noisy AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents), "
+            f"dw AS (SELECT doc_id, {words} AS w FROM noisy), "
+            f"d AS (SELECT doc_id, list_distinct({shingles_sql_duckdb('w', 3)}) AS sh FROM dw), "
+            + _lsh_pairs_ctes()
+            + ", edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+            "walk(n, m) AS ("
+            "SELECT a AS n, a AS m FROM (SELECT DISTINCT a FROM edges) "
+            "UNION "
+            "SELECT e.a AS n, wk.m FROM edges e JOIN walk wk ON e.b = wk.n), "
+            "comp AS (SELECT n AS doc_id, min(m) AS group_id FROM walk GROUP BY n), "
+            "survivors AS (SELECT nd.doc_id, nd.text FROM noisy nd "
+            "LEFT JOIN comp c ON nd.doc_id = c.doc_id "
+            "WHERE c.doc_id IS NULL OR nd.doc_id = c.group_id), "
+            "words AS",
+            1,
         ),
         "dedup_embedding": (
             # max_block_size=55 mirrored: labels over the cap are dropped
