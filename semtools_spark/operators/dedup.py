@@ -190,9 +190,11 @@ def ngram_jaccard_pairs(
         # the hottest shingle ("the of a" at corpus df 10^7) through one
         # sorting reducer — the exact hot key this cap exists to stop.
         # The groupBy partial-aggregates map-side, the over-cap shingle
-        # list is tiny, and AQE broadcasts the anti join (re-running the
-        # shingle generator twice is pure codegen — measured cheaper than
-        # one full-data shuffle+sort by orders of magnitude at scale).
+        # list is tiny, and AQE broadcasts the anti join. The price is a
+        # second codegen pass of the shingle generator (measured 1.2× on
+        # this query at sf0.1, AB_BENCH.json) — the trade is right at
+        # scale, where the window form's full-data shuffle+sort with one
+        # reducer streaming the hottest shingle is the wall.
         hot = (
             tok.groupBy("s")
             .agg(F.count("*").alias("__df"))
