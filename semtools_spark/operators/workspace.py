@@ -888,20 +888,29 @@ class Workspace:
         )
 
     def _ann_index_apply_delta(self, todo: DataFrame, old_centroids: list[int]) -> None:
-        """Re-assign ONLY the synced docs' (post-merge) lines and swap
+        """Re-assign ONLY the delta docs' (post-mutation) lines and swap
         just the touched ``centroid_id=K`` partitions of the materialized
-        index — the reference maintains its HNSW incrementally on upsert
-        (store.rs:402-434); r4's index went STALE on every sync and fell
-        back to exact. Untouched inverted lists stay byte-identical on
-        disk (same `_swap_buckets` machinery as the tables). The source
-        fingerprint is re-stamped LAST: a crash anywhere mid-delta leaves
-        a fingerprint that no longer matches the merged lines table, so
-        search falls back to exact rather than reading a half-updated
-        index."""
+        index — the reference maintains its HNSW incrementally on
+        upsert/delete (store.rs:235-434); r4's index went STALE on every
+        mutation and fell back to exact. Serves sync (evict old lines +
+        insert re-embedded ones) AND delete/prune (pure eviction: the
+        deltas' lines are gone from the table, so only the old-centroid
+        partitions rewrite). Untouched inverted lists stay byte-identical
+        on disk (same `_swap_buckets` machinery as the tables). The
+        source fingerprint is re-stamped LAST: a crash anywhere mid-delta
+        leaves a fingerprint that no longer matches the mutated lines
+        table, so search falls back to exact rather than reading a
+        half-updated index."""
         import json
 
         from semtools_spark.operators.similarity import ivf_assign, ivf_read_meta
 
+        if not hfs.exists(self.spark, self.lines_path):
+            # the mutation emptied the workspace (delete of every doc
+            # removes the table root): an index over nothing is noise —
+            # drop it rather than leave a crashing fingerprint behind
+            hfs.delete(self.spark, self.ann_index_path)
+            return
         meta = ivf_read_meta(self.spark, self.ann_index_path)
         new_lines = self._lines_of_docs(todo)
         assigned = ivf_assign(
@@ -1090,7 +1099,14 @@ class Workspace:
                 [(d,) for d in doc_ids], f"doc {self._doc_key_type()}"
             )
         with self._lease():
-            return {
+            index_maintain = self.ann_index_fresh()
+            old_centroids: list[int] = []
+            if index_maintain:
+                # caller-supplied key DataFrames may read the very tables
+                # the deletes swap — materialize before mutating
+                keys = keys.localCheckpoint()
+                old_centroids = self._ann_delta_centroids(keys)
+            out = {
                 "docs": delete_keys(
                     self.spark, self.manifest_path, keys, ("doc",),
                     num_buckets=self.n_buckets,
@@ -1100,6 +1116,9 @@ class Workspace:
                     num_buckets=self.n_buckets,
                 ),
             }
+            if index_maintain:
+                self._ann_index_apply_delta(keys, old_centroids)
+            return out
 
     def prune(self, existing_docs: DataFrame, id_col: str = "doc_id") -> dict[str, int]:
         """W8: stored ∖ existing → cascade delete (anti-join prune).
@@ -1116,7 +1135,9 @@ class Workspace:
             stale = man.join(
                 existing_docs.select(F.col(id_col).alias("doc")), "doc", "left_anti"
             ).select("doc").localCheckpoint()
-            return {
+            index_maintain = self.ann_index_fresh()
+            old_centroids = self._ann_delta_centroids(stale) if index_maintain else []
+            out = {
                 "docs": delete_keys(
                     self.spark, self.manifest_path, stale, ("doc",),
                     num_buckets=self.n_buckets,
@@ -1126,6 +1147,9 @@ class Workspace:
                     num_buckets=self.n_buckets,
                 ),
             }
+            if index_maintain:
+                self._ann_index_apply_delta(stale, old_centroids)
+            return out
 
     # ---- W9: stats -------------------------------------------------------
     def stats(self) -> dict:

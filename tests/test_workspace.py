@@ -455,8 +455,19 @@ def test_workspace_ann_index_search_and_staleness(spark, tmp_path):
     assert ws.last_search_index_type == "ivf-indexed"
     assert hit.doc == 99
 
-    # delete() does NOT maintain the index → stale → exact fallback
+    # delete() maintains the index too: doc 99 is evicted from its
+    # inverted list and indexed search stays available
     ws.delete([99])
+    assert ws.ann_index_fresh()
+    idx = spark.read.parquet(ws.ann_index_path)
+    assert idx.filter(F.col("doc") == 99).count() == 0
+    assert ws.search("brand new doc", top_k=1, use_index=True, nprobe=4).first().doc != 99
+
+    # an out-of-band table rewrite (no maintenance ran) → stale → exact
+    # fallback instead of reading the outdated index
+    W._atomic_overwrite(
+        spark.read.parquet(ws.lines_path), ws.lines_path, partition_by=W.BUCKET_COL
+    )
     assert not ws.ann_index_fresh()
     assert ws.stats()["index_type"] == "exact-cosine"
     ws.search("text body number 7", top_k=1, use_index=True).first()
@@ -752,3 +763,40 @@ def test_ann_index_incremental_delta_byte_identity(spark, tmp_path):
     hit = ws.search("changed payload seven", top_k=1, use_index=True, nprobe=8).first()
     assert ws.last_search_index_type == "ivf-indexed"
     assert hit.doc == 7
+
+
+def test_ann_index_maintained_through_delete_and_prune(spark, tmp_path):
+    """delete/prune evict the removed docs' lines from their inverted
+    lists (touched partitions only) and keep the index fresh; deleting
+    EVERY doc drops the index outright instead of leaving a crashing
+    fingerprint."""
+    root = str(tmp_path / "ws_anndel")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=4)
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i}", i) for i in range(30)],
+        ["doc_id", "text", "mtime"],
+    )
+    ws.sync(docs, mtime_col="mtime")
+    ws.build_ann_index(n_centroids=8)
+
+    ws.delete([3, 4])
+    assert ws.ann_index_fresh()
+    idx = spark.read.parquet(ws.ann_index_path)
+    assert idx.filter(F.col("doc").isin([3, 4])).count() == 0
+    # index content == table content (eviction exact, nothing else lost)
+    assert idx.count() == ws.stats()["total_lines"]
+
+    pruned = ws.prune(docs.filter(F.col("doc_id") >= 20))
+    assert pruned["docs"] == 18  # 30 - 2 deleted - 10 surviving (20..29)
+    assert ws.ann_index_fresh()
+    idx2 = spark.read.parquet(ws.ann_index_path)
+    assert idx2.count() == ws.stats()["total_lines"]
+    assert idx2.filter(F.col("doc") < 20).count() == 0
+
+    # delete-all: lines table root disappears; the index must go WITH it
+    ws.delete(list(range(20, 30)))
+    assert not ws.ann_index_fresh()
+    from semtools_spark import fs as hfs
+
+    assert not hfs.exists(spark, ws.ann_index_path)
+    assert ws.stats()["index_type"] == "exact-cosine"
