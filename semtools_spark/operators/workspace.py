@@ -470,12 +470,20 @@ class Workspace:
                 self.n_buckets = 16
             self._save_config()
         # open-time repair: a crashed swap's moved-aside bucket must be
-        # rolled back before the FIRST read, not just the first mutation
-        for p in (self.manifest_path, self.lines_path):
-            _sweep_stale_swap_dirs(spark, p)
-        # crash-interrupted rebucket: the intent journal survives; finish
-        # the migration before anything reads with the stale bucket count
-        self._recover_rebucket()
+        # rolled back before the FIRST read, not just the first mutation.
+        # SKIPPED while a live foreign lease exists: those .__old_/.__tmp_
+        # dirs belong to a writer mid-swap, and "repairing" them would
+        # roll its in-flight commit back out from under it (its next
+        # rename(src, dst) fails on the resurrected dst). A live writer
+        # needs no repair; a crashed one's lease expires, and the first
+        # open (or mutation) after that repairs as before.
+        if not self._foreign_lease_live():
+            for p in (self.manifest_path, self.lines_path):
+                _sweep_stale_swap_dirs(spark, p)
+            # crash-interrupted rebucket: the intent journal survives;
+            # finish the migration before anything reads with the stale
+            # bucket count
+            self._recover_rebucket()
 
     @classmethod
     def resolve(
@@ -544,6 +552,24 @@ class Workspace:
 
     def _lease_path(self) -> str:
         return f"{self.root}/{self.LEASE_FILE}"
+
+    def _foreign_lease_live(self) -> bool:
+        """True iff another writer's lease exists and is within TTL —
+        the guard that keeps open-time repair from rolling back a live
+        writer's in-flight swap."""
+        import json
+        import time
+
+        text = hfs.read_text(self.spark, self._lease_path())
+        if text is None:
+            return False
+        try:
+            cur = json.loads(text)
+        except ValueError:
+            return False  # torn write = crashed writer
+        if cur.get("token") == self._writer_token:
+            return False
+        return (time.time() - float(cur.get("ts", 0.0))) < self.lease_ttl_sec
 
     def _lease(self):
         """Context manager claiming the workspace's writer lease for one

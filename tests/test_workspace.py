@@ -601,6 +601,49 @@ def test_crash_between_move_aside_and_commit_rolls_back(spark, tmp_path, docs, m
     assert [r.line for r in ws2.lines().filter(F.col("doc") == 2).select("line").collect()] == ["edited"]
 
 
+def test_open_time_repair_skipped_under_live_foreign_lease(spark, tmp_path, docs):
+    """Open-time repair must not roll back a LIVE writer's in-flight
+    swap: a reader opening mid-swap (bucket momentarily moved aside,
+    live foreign lease present) leaves the .__old_ dir alone and does
+    not raise; once the lease goes stale (the writer actually crashed),
+    the next open rolls the bucket back as usual."""
+    import json
+    import time
+
+    from semtools_spark import fs as hfs
+
+    root = str(tmp_path / "ws_liveswap")
+    ws = W.Workspace(spark, root, dim=16, n_buckets=2)
+    ws.sync(docs, mtime_col="mtime")
+    before = {tuple(r) for r in ws.lines().select("doc", "line_no", "line").collect()}
+
+    # simulate a writer mid-swap: one bucket moved aside exactly as
+    # _swap_buckets does, its destination momentarily missing
+    k = W._bucket_ids(spark, ws.lines_path)[0]
+    bucket = f"{ws.lines_path}/{W.BUCKET_COL}={k}"
+    old = f"{ws.lines_path}.__old_{'0' * 32}_{W.BUCKET_COL}={k}"
+    assert hfs.rename(spark, bucket, old)
+    lease = f"{root}/{W.Workspace.LEASE_FILE}"
+    hfs.write_text(spark, lease, json.dumps(
+        {"host": "other", "pid": 1, "ts": time.time(), "token": "foreign"}
+    ))
+
+    W.Workspace(spark, root)  # live lease: no repair, no raise
+    assert hfs.exists(spark, old) and not hfs.exists(spark, bucket)
+
+    # the lease expires (writer really is dead): next open repairs
+    hfs.delete(spark, lease)
+    hfs.write_text(spark, lease, json.dumps(
+        {"host": "other", "pid": 1,
+         "ts": time.time() - 10 * W.DEFAULT_LEASE_TTL_SEC, "token": "foreign"}
+    ))
+    ws3 = W.Workspace(spark, root)
+    assert {
+        tuple(r) for r in ws3.lines().select("doc", "line_no", "line").collect()
+    } == before
+    assert not hfs.exists(spark, old)
+
+
 def test_writer_lease_blocks_live_writer_reclaims_stale(spark, tmp_path, docs):
     """VERDICT r4 next #7: the single-writer assumption is enforced — a
     live foreign lease makes mutations raise ConcurrentWriterError; a
