@@ -1119,7 +1119,13 @@ class Workspace:
         for distributed callers — never collect a big id set just to pass
         it here."""
         if isinstance(doc_ids, DataFrame):
-            keys = doc_ids.select(F.col(id_col).alias("doc"))
+            # caller-supplied keys may read the very tables the deletes
+            # swap (a filtered manifest() is the natural way to build
+            # them): the manifest delete renames the files the keys'
+            # scan snapshot-listed, so the lines delete's lazy
+            # re-evaluation would chase vanished files. Materialize the
+            # key column first — O(keys), same as prune()'s stale set.
+            keys = doc_ids.select(F.col(id_col).alias("doc")).localCheckpoint()
         else:
             keys = self.spark.createDataFrame(
                 [(d,) for d in doc_ids], f"doc {self._doc_key_type()}"
@@ -1128,9 +1134,6 @@ class Workspace:
             index_maintain = self.ann_index_fresh()
             old_centroids: list[int] = []
             if index_maintain:
-                # caller-supplied key DataFrames may read the very tables
-                # the deletes swap — materialize before mutating
-                keys = keys.localCheckpoint()
                 old_centroids = self._ann_delta_centroids(keys)
             out = {
                 "docs": delete_keys(

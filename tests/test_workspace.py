@@ -601,6 +601,21 @@ def test_crash_between_move_aside_and_commit_rolls_back(spark, tmp_path, docs, m
     assert [r.line for r in ws2.lines().filter(F.col("doc") == 2).select("line").collect()] == ["edited"]
 
 
+def test_delete_with_keys_derived_from_workspace_tables(spark, tmp_path, docs):
+    """A keys DataFrame built from the workspace's own manifest (the
+    natural distributed-caller pattern) must survive the manifest delete
+    swapping the files its scan snapshot-listed — the keys are
+    materialized before mutation, so the lines delete does not lazily
+    re-read vanished manifest files."""
+    ws = W.Workspace(spark, str(tmp_path / "ws_selfkeys"), dim=16, n_buckets=2)
+    ws.sync(docs, mtime_col="mtime")
+    keys = ws.manifest().filter(F.col("doc") == 2).select("doc")
+    out = ws.delete(keys, id_col="doc")
+    assert out["docs"] == 1 and out["lines"] >= 1
+    assert ws.stats()["total_documents"] == 2
+    assert ws.lines().filter(F.col("doc") == 2).count() == 0
+
+
 def test_open_time_repair_skipped_under_live_foreign_lease(spark, tmp_path, docs):
     """Open-time repair must not roll back a LIVE writer's in-flight
     swap: a reader opening mid-swap (bucket momentarily moved aside,
