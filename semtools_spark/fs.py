@@ -89,8 +89,17 @@ def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     fs, p = fs_and_path(spark, path)
     try:
         out = fs.create(p, False)
-    except Exception:
-        return False
+    except Exception as ex:
+        # Only the already-exists outcome means "lost the race" — anything
+        # else (permissions, connectivity) is an infrastructure fault and
+        # must propagate, not masquerade as a concurrent writer.
+        # Local/HDFS raise o.a.h.fs.FileAlreadyExistsException; HDFS can
+        # also surface AlreadyBeingCreatedException for an open lease.
+        je = getattr(ex, "java_exception", None)
+        cls = je.getClass().getName() if je is not None else ""
+        if "FileAlreadyExists" in cls or "AlreadyBeingCreated" in cls:
+            return False
+        raise
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:

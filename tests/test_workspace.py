@@ -558,47 +558,212 @@ def test_stats_survives_deleted_lines_table_with_index_fingerprint(spark, tmp_pa
     assert ws.search("alpha").collect() == []
 
 
-def test_crash_between_move_aside_and_commit_rolls_back(spark, tmp_path, docs, monkeypatch):
-    """ADVICE r4 (medium): a crash BETWEEN rename(dst->old) and
-    rename(src->dst) leaves bucket k's only copy in the .__old_ dir. The
-    sweep must ROLL IT BACK (not delete it) — on the next open as well as
-    the next mutation — so no rows are ever lost."""
+def test_crash_before_pointer_commit_preserves_old_snapshot(spark, tmp_path, docs, monkeypatch):
+    """r6 generation-commit protocol: the old `.__old_` move-aside crash
+    window is GONE — a mutation killed after staging its new generation
+    dirs but BEFORE publishing the pointer leaves readers on the intact
+    old snapshot (staged dirs are unreferenced), a fresh open sweeps the
+    orphans, and the idempotent re-run converges."""
     import os
 
     from semtools_spark import fs as hfs
 
-    root = str(tmp_path / "ws_rollback")
+    root = str(tmp_path / "ws_genptr_crash")
     ws = W.Workspace(spark, root, dim=16, n_buckets=2)
     ws.sync(docs, mtime_col="mtime")
     before_lines = {tuple(r) for r in ws.lines().select("doc", "line_no", "line").collect()}
 
     real_rename = hfs.rename
 
-    def crash_after_move_aside(spark_, src, dst):
-        if ".__old_" in dst:
-            return real_rename(spark_, src, dst)  # the move-aside lands
-        raise RuntimeError("injected kill between move-aside and commit")
+    def crash_at_pointer_publish(spark_, src, dst):
+        if "/_current." in dst:
+            raise RuntimeError("injected kill before pointer commit")
+        return real_rename(spark_, src, dst)
 
     changed = docs.withColumn(
         "text", F.when(F.col("doc_id") == 2, F.lit("edited")).otherwise(F.col("text"))
     )
-    monkeypatch.setattr(hfs, "rename", crash_after_move_aside)
+    monkeypatch.setattr(hfs, "rename", crash_at_pointer_publish)
     with pytest.raises(Exception, match="injected kill"):
         ws.sync(changed, mtime_col="mtime")
     monkeypatch.setattr(hfs, "rename", real_rename)
-    # the crash window is real: an .__old_ dir holds the moved-aside bucket
-    assert any(".__old_" in d for d in os.listdir(root)), "no move-aside left behind"
 
-    # a FRESH open repairs before any read — nothing lost
+    # the staged-but-unreferenced generation really is on disk: the
+    # touched bucket holds TWO g_ dirs until the sweep
+    lines_dir = ws.lines_path
+    staged = [
+        (b, g)
+        for b in os.listdir(lines_dir)
+        if b.startswith(W.BUCKET_COL + "=")
+        for g in os.listdir(os.path.join(lines_dir, b))
+        if g.startswith("g_")
+    ]
+    assert any(
+        sum(1 for bb, _ in staged if bb == b) == 2 for b, _ in staged
+    ), staged
+
+    # a reader BEFORE any repair still sees the old consistent snapshot
+    # (the pointer was never swapped)
+    assert {
+        tuple(r)
+        for r in W._read_snapshot(spark, lines_dir)
+        .select("doc", "line_no", "line")
+        .collect()
+    } == before_lines
+
+    # a FRESH open sweeps the orphaned generation — nothing lost
     ws2 = W.Workspace(spark, root, dim=16)
     assert {
         tuple(r) for r in ws2.lines().select("doc", "line_no", "line").collect()
     } == before_lines
-    assert not any(".__old_" in d or ".__tmp_" in d for d in os.listdir(root))
+    for b in os.listdir(lines_dir):
+        if b.startswith(W.BUCKET_COL + "="):
+            gens = [g for g in os.listdir(os.path.join(lines_dir, b)) if g.startswith("g_")]
+            assert len(gens) == 1, (b, gens)
 
     # and the idempotent re-run converges to the intended state
     ws2.sync(changed, mtime_col="mtime")
     assert [r.line for r in ws2.lines().filter(F.col("doc") == 2).select("line").collect()] == ["edited"]
+
+
+def test_reader_snapshot_isolation_mid_multi_bucket_commit(spark, tmp_path, monkeypatch):
+    """VERDICT r5 next #2 done-criterion: a reader that lists/plans the
+    table BETWEEN two bucket swaps of one mutation sees a single
+    consistent snapshot (the old one) — never bucket k new + bucket k+1
+    old. The mid-commit hook fires after each staged generation rename,
+    i.e. exactly inside the window that used to produce mixed tables."""
+    t = str(tmp_path / "snapshot_t")
+    first = spark.createDataFrame(
+        [(i, f"v1-{i}") for i in range(32)], "doc long, payload string"
+    )
+    W.merge_upsert(spark, t, first, ("doc",), num_buckets=4)
+    before = {tuple(r) for r in W._read_snapshot(spark, t).drop(W.BUCKET_COL).collect()}
+    assert len(before) == 32
+
+    # update EVERY key so the commit stages all 4 buckets
+    second = spark.createDataFrame(
+        [(i, f"v2-{i}") for i in range(32)], "doc long, payload string"
+    )
+    mid_reads = []
+
+    def mid_commit_reader(bucket_k):
+        got = {
+            tuple(r)
+            for r in W._read_snapshot(spark, t).drop(W.BUCKET_COL).collect()
+        }
+        mid_reads.append((bucket_k, got))
+
+    monkeypatch.setattr(W, "_TEST_MID_COMMIT_HOOK", mid_commit_reader)
+    try:
+        W.merge_upsert(spark, t, second, ("doc",), num_buckets=4)
+    finally:
+        monkeypatch.setattr(W, "_TEST_MID_COMMIT_HOOK", None)
+
+    # the hook fired once per touched bucket
+    assert len(mid_reads) == 4, [k for k, _ in mid_reads]
+    # EVERY mid-commit read is the complete old snapshot — not a mix
+    for k, got in mid_reads:
+        assert got == before, f"mid-commit read at bucket {k} saw a mixed table"
+    after = {tuple(r) for r in W._read_snapshot(spark, t).drop(W.BUCKET_COL).collect()}
+    assert after == {(i, f"v2-{i}") for i in range(32)}
+
+
+def test_stale_lease_reclaim_is_atomic_tombstone(spark, tmp_path, docs, monkeypatch):
+    """ADVICE r5 (medium): reclaiming a stale lease renames it to a
+    tombstone — of N racers exactly one rename succeeds; a loser raises
+    ConcurrentWriterError instead of deleting the winner's fresh lease."""
+    import json
+    import time
+
+    from semtools_spark import fs as hfs
+
+    root = str(tmp_path / "ws_tomb")
+    ws = W.Workspace(spark, root, dim=16)
+    lease = f"{root}/{W.Workspace.LEASE_FILE}"
+    hfs.write_text(spark, lease, json.dumps(
+        {"host": "dead", "pid": 1,
+         "ts": time.time() - 10 * W.DEFAULT_LEASE_TTL_SEC, "token": "foreign"}
+    ))
+
+    # simulate losing the tombstone race: the rename of the stale lease
+    # fails because another reclaimer moved it first
+    real_rename = hfs.rename
+
+    def lose_race(spark_, src, dst):
+        if ".tomb_" in dst:
+            return False
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(hfs, "rename", lose_race)
+    with pytest.raises(W.ConcurrentWriterError, match="reclaim race"):
+        ws.sync(docs, mtime_col="mtime")
+    monkeypatch.setattr(hfs, "rename", real_rename)
+    # the stale lease file was NOT deleted by the loser
+    assert hfs.read_text(spark, lease) is not None
+
+    # winning the race proceeds normally
+    counts = ws.sync(docs, mtime_col="mtime")
+    assert counts == {"new": 3}
+
+
+def test_heartbeat_keeps_long_mutation_lease_live(spark, tmp_path, docs):
+    """ADVICE r5 (medium): a mutation whose Spark jobs outlive
+    lease_ttl_sec stays live through heartbeats — liveness is judged on
+    max(claim ts, heartbeat ts), so a second writer must NOT reclaim."""
+    import json
+    import time
+
+    from semtools_spark import fs as hfs
+
+    root = str(tmp_path / "ws_hb")
+    ws = W.Workspace(spark, root, dim=16, lease_ttl_sec=2)
+    with ws._lease():
+        time.sleep(2.1)  # claim stamp is now older than the TTL
+        ws._heartbeat()  # ...but the mutation is still alive
+        # a second writer sees an expired claim ts but a fresh heartbeat
+        ws2 = W.Workspace(spark, root)
+        assert ws2._foreign_lease_live()
+        with pytest.raises(W.ConcurrentWriterError):
+            with ws2._lease():
+                pass
+        # exactly one heartbeat file is retained per renewal
+        hb = [n for n, _s, d in hfs.listdir(spark, root)
+              if not d and n.startswith(W.Workspace.HB_PREFIX)]
+        assert len(hb) == 1
+    # release drops the lease AND its heartbeats
+    assert hfs.read_text(spark, f"{root}/{W.Workspace.LEASE_FILE}") is None
+    hb = [n for n, _s, d in hfs.listdir(spark, root)
+          if not d and n.startswith(W.Workspace.HB_PREFIX)]
+    assert hb == []
+
+
+def test_merge_upsert_rejects_non_prefix_replace_cols(spark, tmp_path):
+    """ADVICE r5 (low): replace_cols that is not a prefix of key_cols
+    would evict rows across the wrong buckets — must raise, not corrupt."""
+    t = str(tmp_path / "t_guard")
+    upd = spark.createDataFrame([(1, 0, "x")], "doc long, line_no long, v string")
+    with pytest.raises(ValueError, match="prefix of key_cols"):
+        W.merge_upsert(
+            spark, t, upd, ("doc", "line_no"), num_buckets=4,
+            replace_cols=("line_no",),
+        )
+
+
+def test_create_exclusive_propagates_infrastructure_errors(spark, tmp_path):
+    """ADVICE r5 (low): only the already-exists outcome returns False;
+    an IO fault (here: an unwritable kernel filesystem, which surfaces a
+    java.io.FileNotFoundException, not FileAlreadyExists) must propagate
+    instead of masquerading as a lost lease race."""
+    from semtools_spark import fs as hfs
+
+    blocker = str(tmp_path / "blocker")
+    with open(blocker, "w") as f:
+        f.write("x")
+    # already-exists → False (the race-loss signal)
+    assert hfs.create_exclusive(spark, blocker, "y") is False
+    # unwritable filesystem → raises (infrastructure fault, not a race)
+    with pytest.raises(Exception):
+        hfs.create_exclusive(spark, "/proc/semtools_lease_probe", "y")
 
 
 def test_delete_with_keys_derived_from_workspace_tables(spark, tmp_path, docs):
