@@ -1,0 +1,397 @@
+"""Pure-Python PDF text extractor for the pluggable parse slot.
+
+The reference's flagship ``parse`` use-case is PDF documents sent to the
+remote LlamaParse API (semtools src/parse/client.rs:290-433; the README's
+first example is a directory of PDFs). This sandbox has no network and no
+parsing model, but PDF is a public spec (ISO 32000-1:2008) and the
+overwhelmingly common case — classic object layout, Flate-compressed
+content streams, text shown with ``Tj``/``TJ`` — is extractable with
+stdlib ``zlib`` alone. This module is that extractor: a DETERMINISTIC
+pure function ``bytes -> str`` (no state, no network), so it satisfies
+the fingerprint/resume contract of the parse cache exactly like the
+pinned default and the real-HTML extractor.
+
+Scope (documented, not silent):
+
+* **handled** — objects as ``N G obj … endobj`` (recovered by scanning,
+  so broken/absent xref tables still parse); page tree walk through
+  ``/Root → /Pages → /Kids`` with file-order fallback; ``/Contents`` as
+  a single stream or an array; ``FlateDecode`` (incl. predictor-less
+  arrays of one filter) or unfiltered streams; string literals with all
+  escape forms, hex strings; text operators ``Tj``, ``'``, ``"``,
+  ``TJ`` (with kerning-gap word splits), line breaks from ``Td``,
+  ``TD``, ``T*``, ``Tm``; bytes decoded as PDFDocEncoding ≈ latin-1.
+* **not handled** (best-effort partial or empty result, never a raise) —
+  object streams (``/ObjStm``-packed objects, PDF 1.5 compact layout),
+  CID/Type0 fonts needing ``/ToUnicode`` CMap mapping, encryption,
+  LZW/DCT/JBIG2 filters. A production deployment swaps in a real parser
+  behind the same slot; the Spark-side contract is identical.
+
+Pages join with "\\n\\n" — the reference's page-concat separator
+(src/parse/client.rs:87-88,104-105), same as every other extractor here.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["extract_pdf_text", "extract_any", "is_pdf"]
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c in (b"%",):  # comment to EOL
+            while i < n and data[i : i + 1] not in (b"\r", b"\n"):
+                i += 1
+        elif c in _WS:
+            i += 1
+        else:
+            break
+    return i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+
+def _parse_value(data: bytes, i: int):
+    """Parse one PDF object value at ``i`` → (value, next_index). Raises
+    ValueError on malformed input (callers catch and degrade)."""
+    i = _skip_ws(data, i)
+    if i >= len(data):
+        raise ValueError("eof")
+    c = data[i : i + 1]
+    if data[i : i + 2] == b"<<":
+        d = {}
+        i += 2
+        while True:
+            i = _skip_ws(data, i)
+            if data[i : i + 2] == b">>":
+                return d, i + 2
+            if data[i : i + 1] != b"/":
+                raise ValueError(f"dict key at {i}")
+            key, i = _parse_name(data, i)
+            val, i = _parse_value(data, i)
+            d[key] = val
+    if c == b"<":  # hex string
+        j = data.index(b">", i)
+        hexs = re.sub(rb"\s", b"", data[i + 1 : j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii")), j + 1
+    if c == b"(":
+        return _parse_literal_string(data, i)
+    if c == b"[":
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(data, i)
+            if data[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_value(data, i)
+            arr.append(v)
+    if c == b"/":
+        return _parse_name(data, i)
+    if data[i : i + 4] == b"true":
+        return True, i + 4
+    if data[i : i + 5] == b"false":
+        return False, i + 5
+    if data[i : i + 4] == b"null":
+        return None, i + 4
+    m = _REF_RE.match(data, i)
+    if m:
+        return _Ref(int(m.group(1))), m.end()
+    m = _NUM_RE.match(data, i)
+    if m:
+        s = m.group(0)
+        return (float(s) if b"." in s else int(s)), m.end()
+    raise ValueError(f"value at {i}: {data[i:i+16]!r}")
+
+
+def _parse_name(data: bytes, i: int):
+    assert data[i : i + 1] == b"/"
+    i += 1
+    out = bytearray()
+    while i < len(data):
+        c = data[i : i + 1]
+        if c in _WS or c in _DELIM:
+            break
+        if c == b"#" and i + 2 < len(data):
+            out += bytes.fromhex(data[i + 1 : i + 3].decode("ascii", "replace"))
+            i += 3
+        else:
+            out += c
+            i += 1
+    return out.decode("latin-1"), i
+
+
+def _parse_literal_string(data: bytes, i: int):
+    assert data[i : i + 1] == b"("
+    i += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in b"nrtbf":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                        0x62: b"\b", 0x66: b"\x0c"}[e]
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                oct_digits = bytearray()
+                while i < n and 0x30 <= data[i] <= 0x37 and len(oct_digits) < 3:
+                    oct_digits.append(data[i])
+                    i += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_HEAD_RE = re.compile(rb"stream(\r\n|\n|\r)")
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
+    """All ``N G obj`` bodies by scanning (xref-independent — also how
+    viewers repair PDFs with broken tables): {num: (value, stream|None)}.
+    Stream extent comes from /Length when it is a direct integer, else
+    the next ``endstream`` marker."""
+    objects: dict[int, tuple[object, bytes | None]] = {}
+    for m in _OBJ_HEAD_RE.finditer(data):
+        num = int(m.group(1))
+        i = m.end()
+        try:
+            val, i = _parse_value(data, i)
+        except (ValueError, IndexError, AssertionError):
+            continue
+        stream = None
+        i = _skip_ws(data, i)
+        sm = _STREAM_HEAD_RE.match(data, i)
+        if sm is not None:
+            start = sm.end()
+            length = val.get("Length") if isinstance(val, dict) else None
+            if isinstance(length, int):
+                end = start + length
+                if data[end : end + 11].lstrip(b"\r\n") [:9] != b"endstream":
+                    end = data.find(b"endstream", start)
+            else:
+                end = data.find(b"endstream", start)
+            if end < 0:
+                continue
+            stream = data[start:end].rstrip(b"\r\n")
+        objects[num] = (val, stream)
+    return objects
+
+
+def _resolve(val, objects, depth: int = 0):
+    while isinstance(val, _Ref) and depth < 32:
+        entry = objects.get(val.num)
+        if entry is None:
+            return None
+        val = entry[0]
+        depth += 1
+    return val
+
+
+def _decode_stream(sdict, raw: bytes) -> bytes | None:
+    filt = sdict.get("Filter") if isinstance(sdict, dict) else None
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    out = raw
+    for f in filters:
+        if f == "FlateDecode":
+            try:
+                out = zlib.decompress(out)
+            except zlib.error:
+                return None
+        else:
+            return None  # LZW/DCT/…: out of scope, skip this stream
+    return out
+
+
+def _page_streams(objects) -> list[bytes]:
+    """Decoded content streams in page order (catalog-tree walk; file
+    order as the repair fallback)."""
+
+    def content_of(page_dict) -> list[bytes]:
+        out = []
+        contents = _resolve(page_dict.get("Contents"), objects)
+        refs = contents if isinstance(contents, list) else [page_dict.get("Contents")]
+        for ref in refs:
+            num = ref.num if isinstance(ref, _Ref) else None
+            if num is None or num not in objects:
+                continue
+            sdict, raw = objects[num]
+            if raw is None:
+                continue
+            dec = _decode_stream(sdict, raw)
+            if dec is not None:
+                out.append(dec)
+        return out
+
+    pages: list[dict] = []
+
+    def walk(node_ref, depth: int = 0):
+        node = _resolve(node_ref, objects)
+        if not isinstance(node, dict) or depth > 64:
+            return
+        t = node.get("Type")
+        if t == "Page":
+            pages.append(node)
+        elif t == "Pages" or "Kids" in node:
+            for kid in _resolve(node.get("Kids"), objects) or []:
+                walk(kid, depth + 1)
+
+    root = None
+    for _num, (val, _s) in sorted(objects.items()):
+        if isinstance(val, dict) and val.get("Type") == "Catalog":
+            root = val
+            break
+    if root is not None:
+        walk(root.get("Pages"))
+    if not pages:  # repair fallback: every /Type /Page in file order
+        pages = [
+            val
+            for _num, (val, _s) in sorted(objects.items())
+            if isinstance(val, dict) and val.get("Type") == "Page"
+        ]
+    streams: list[bytes] = []
+    for p in pages:
+        page_content = b"\n".join(content_of(p))
+        streams.append(page_content)
+    return streams
+
+
+#: a TJ kerning adjustment more negative than this (thousandths of an em)
+#: is an inter-word gap — the common convention real extractors use
+TJ_WORD_GAP = -180
+
+
+def _text_from_content(stream: bytes) -> str:
+    """Walk the content stream's operand/operator tokens and assemble the
+    shown text: ``Tj``/``'``/``"`` append their string, ``TJ`` appends
+    its strings with kerning-gap word splits, and ``Td``/``TD``/``T*``/
+    ``Tm``/``'``/``"`` start a new line."""
+    lines: list[str] = []
+    cur: list[str] = []
+    operands: list = []
+    i = 0
+    n = len(stream)
+
+    def newline():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    def show(b: bytes):
+        cur.append(b.decode("latin-1"))
+
+    while i < n:
+        i = _skip_ws(stream, i)
+        if i >= n:
+            break
+        c = stream[i : i + 1]
+        if c in b"(<[/" or c in b"+-." or c.isdigit():
+            try:
+                v, i = _parse_value(stream, i)
+            except (ValueError, IndexError, AssertionError):
+                i += 1
+                continue
+            operands.append(v)
+            continue
+        # operator token
+        j = i
+        while j < n and stream[j : j + 1] not in _WS and stream[j : j + 1] not in _DELIM:
+            j += 1
+        op = stream[i:j]
+        i = j if j > i else i + 1
+        if op == b"Tj" and operands and isinstance(operands[-1], bytes):
+            show(operands[-1])
+        elif op == b"TJ" and operands and isinstance(operands[-1], list):
+            for el in operands[-1]:
+                if isinstance(el, bytes):
+                    show(el)
+                elif isinstance(el, (int, float)) and el < TJ_WORD_GAP:
+                    cur.append(" ")
+        elif op in (b"'", b'"'):
+            newline()
+            if operands and isinstance(operands[-1], bytes):
+                show(operands[-1])
+        elif op in (b"Td", b"TD", b"T*", b"Tm", b"ET"):
+            newline()
+        operands.clear()
+    newline()
+    return "\n".join(lines)
+
+
+def is_pdf(data: bytes) -> bool:
+    """The spec allows junk before the header within the first 1 KiB."""
+    return bool(data) and b"%PDF-" in data[:1024]
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """PDF bytes → extracted text, pages joined with "\\n\\n". Pure and
+    deterministic; malformed input degrades to partial/empty text, never
+    an exception (the parse stage must not fail a 10^12-page job on one
+    corrupt document)."""
+    if not is_pdf(data):
+        return ""
+    try:
+        objects = _scan_objects(data)
+        page_texts = [_text_from_content(s) for s in _page_streams(objects)]
+    except Exception:
+        return ""
+    return "\n\n".join(t for t in page_texts if t)
+
+
+def extract_any(data: bytes) -> str:
+    """Format-dispatching extractor for mixed crawl corpora: PDF magic →
+    :func:`extract_pdf_text`, anything else → the real-HTML main-content
+    extractor. Still one deterministic ``bytes -> str`` function, so it
+    drops into ``parse_pages(extractor=...)`` unchanged."""
+    from semtools_spark.operators.html_extract import extract_main_text
+
+    if is_pdf(data):
+        return extract_pdf_text(data)
+    return extract_main_text(data)

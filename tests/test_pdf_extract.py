@@ -1,0 +1,202 @@
+"""PDF extractor tests: spec-shaped fixtures built deterministically in
+pure Python (classic xref layout, Flate streams), committed under
+tests/fixtures/pdf/, extracted through the pluggable parse slot."""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pytest
+
+from semtools_spark.operators import pdf_extract as PX
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "pdf")
+
+
+def _mk_pdf(page_streams: list[bytes], compress: bool = True) -> bytes:
+    """Minimal spec-correct PDF: catalog → pages → page+content objects,
+    classic xref table, deterministic bytes (no dates, no ids)."""
+    objects: list[bytes] = []  # bodies, object number = index+1
+    n_pages = len(page_streams)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
+    )
+    for i, content in enumerate(page_streams):
+        content_num = 4 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        data = zlib.compress(content, 9) if compress else content
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objects.append(
+            b"<< " + filt + f"/Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+PAGE1 = (
+    b"BT /F1 12 Tf 72 720 Td (Spark-native analytics at web scale) Tj "
+    b"0 -14 Td (Second line of the first page.) Tj ET"
+)
+PAGE2 = (
+    b"BT /F1 12 Tf 72 720 Td "
+    b"[(Ker) 20 (ned) -250 (words) -300 (split)] TJ ET"
+)
+
+
+def test_fixture_pdfs_are_committed_and_deterministic():
+    """The committed fixture bytes ARE the builder's output — drift in
+    either fails here, keeping the binary fixtures honest."""
+    want = {
+        "two_page_flate.pdf": _mk_pdf([PAGE1, PAGE2]),
+        "one_page_raw.pdf": _mk_pdf([PAGE1], compress=False),
+    }
+    for name, data in want.items():
+        with open(os.path.join(FIXTURE_DIR, name), "rb") as f:
+            assert f.read() == data, name
+
+
+def test_extracts_multipage_flate_text():
+    data = _mk_pdf([PAGE1, PAGE2])
+    got = PX.extract_pdf_text(data)
+    assert got == (
+        "Spark-native analytics at web scale\n"
+        "Second line of the first page."
+        "\n\n"
+        "Kerned words split"
+    )
+
+
+def test_extracts_uncompressed_stream():
+    assert PX.extract_pdf_text(_mk_pdf([PAGE1], compress=False)).startswith(
+        "Spark-native analytics"
+    )
+
+
+def test_string_escapes_hex_strings_and_quote_ops():
+    content = (
+        b"BT (paren \\( pair \\) back\\\\slash oct \\101) Tj "
+        b"<48657820737472696E67> ' "
+        b"(tab\\there) \" ET"
+    )
+    got = PX.extract_pdf_text(_mk_pdf([content]))
+    assert got == "paren ( pair ) back\\slash oct A\nHex string\ntab\there"
+
+
+def test_page_order_follows_catalog_tree_not_file_order():
+    # build normally, then swap the two content streams' object numbers
+    # by editing Kids order: page tree order must win
+    data = _mk_pdf([PAGE2, PAGE1])
+    got = PX.extract_pdf_text(data)
+    assert got.startswith("Kerned words split")
+    assert got.endswith("Second line of the first page.")
+
+
+def test_malformed_inputs_degrade_to_empty_never_raise():
+    assert PX.extract_pdf_text(b"") == ""
+    assert PX.extract_pdf_text(b"not a pdf at all") == ""
+    whole = _mk_pdf([PAGE1])
+    assert PX.extract_pdf_text(whole[: len(whole) // 3]) in ("", PX.extract_pdf_text(whole))
+    # corrupt the Flate payload: that stream is skipped, no raise
+    broken = whole.replace(b"stream\n", b"stream\n\xff\xfe", 1)
+    assert isinstance(PX.extract_pdf_text(broken), str)
+
+
+def test_extract_any_dispatches_on_magic():
+    pdf = _mk_pdf([PAGE1])
+    assert "web scale" in PX.extract_any(pdf)
+    html = (
+        b"<html><body><nav><a href='/'>Home</a></nav>"
+        b"<p>" + b"Real paragraph content long enough to keep. " * 3 + b"</p>"
+        b"</body></html>"
+    )
+    got = PX.extract_any(html)
+    assert "Real paragraph content" in got and "Home" not in got
+
+
+def test_pdf_through_parse_pages_slot(spark):
+    """The Spark contract: PDF bytes in the html column flow through
+    parse_pages(extractor=extract_any) — the needs-parse branch runs the
+    extractor, the passthrough branch stays a raw decode, and the
+    default pinned extractor is untouched."""
+    import datetime as dt
+
+    from semtools_spark.operators.parse import parse_pages
+
+    pdf = _mk_pdf([PAGE1, PAGE2])
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("https://ex.com/whitepaper.pdf", ts, pdf, "en"),
+        ("https://ex.com/readme.txt", ts, b"plain passthrough text", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string"
+    )
+    got = {r.url: r.text for r in parse_pages(pages, extractor=PX.extract_any).collect()}
+    assert got["https://ex.com/whitepaper.pdf"] == (
+        "Spark-native analytics at web scale\nSecond line of the first page."
+        "\n\nKerned words split"
+    )
+    assert got["https://ex.com/readme.txt"] == "plain passthrough text"
+
+
+def test_pdf_corpus_pipeline_fingerprint_resume(spark, tmp_path):
+    """fingerprint/resume contract with the PDF extractor plugged in:
+    the extractor's qualified name is part of the stage fingerprint, a
+    re-run skips parse, and switching extractors re-parses."""
+    import datetime as dt
+
+    from semtools_spark.pipeline import run_webkg_pipeline
+
+    ts = dt.datetime(2026, 1, 1)
+    corpus = [
+        (
+            f"https://ex.com/doc{i}.pdf",
+            ts,
+            _mk_pdf([b"BT (alice works with bob) Tj ET"]),
+            "en",
+        )
+        for i in range(6)
+    ]
+    src = str(tmp_path / "pdf_pages.parquet")
+    spark.createDataFrame(
+        corpus, "url string, warc_ts timestamp, html binary, lang string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "kg_pdf")
+    r1 = run_webkg_pipeline(spark, src, out, extractor=PX.extract_any)
+    assert not r1["stages"]["parse"]["skipped"]
+    parsed = spark.read.parquet(r1["paths"]["parse"])
+    assert parsed.filter("text = 'alice works with bob'").count() == 6
+
+    r2 = run_webkg_pipeline(spark, src, out, extractor=PX.extract_any)
+    assert r2["stages"]["parse"]["skipped"]
+
+    # a different extractor invalidates the fingerprint → re-parse
+    # (extract_pdf_text vs extract_any: different qualified name; the
+    # pinned JVM default is HTML-only by design — its strict utf-8
+    # decode is not meant for binary PDF bytes)
+    r3 = run_webkg_pipeline(spark, src, out, extractor=PX.extract_pdf_text)
+    assert not r3["stages"]["parse"]["skipped"]
