@@ -190,11 +190,18 @@ def ngram_jaccard_pairs(
         # the hottest shingle ("the of a" at corpus df 10^7) through one
         # sorting reducer — the exact hot key this cap exists to stop.
         # The groupBy partial-aggregates map-side, the over-cap shingle
-        # list is tiny, and AQE broadcasts the anti join. The price is a
-        # second codegen pass of the shingle generator (measured 1.2× on
-        # this query at sf0.1, AB_BENCH.json) — the trade is right at
-        # scale, where the window form's full-data shuffle+sort with one
-        # reducer streaming the hottest shingle is the wall.
+        # list is tiny, and AQE broadcasts the anti join.
+        #
+        # The exploded relation is lazily localCheckpoint'ed FIRST, so
+        # the df-count, the per-doc sizes, and both self-join sides all
+        # read ONE materialized generator pass instead of each re-running
+        # the regex+shingle codegen (4 passes in the r5 shape — the
+        # measured 1.2× cap cost at sf0.1, AB_BENCH r5). The price is
+        # storing the exploded (id, block, shingle) rows on executor
+        # local storage for the job's duration — the standard
+        # recompute-vs-store trade, taken here because the generator is
+        # the single hottest expression in the dedup family.
+        tok = tok.localCheckpoint(eager=False)
         hot = (
             tok.groupBy("s")
             .agg(F.count("*").alias("__df"))
