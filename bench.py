@@ -68,6 +68,79 @@ def _bench_webkg(spark, sf: float) -> tuple[float, int]:
     return wall, n_triples
 
 
+def _bench_lsh_link(spark) -> tuple[float, dict]:
+    """The LSH-bucketed entity-link path at a catalog size that ENGAGES
+    it (VERDICT r5 next #6: every committed bench exercised only the
+    18-entity broadcast path). 150k synthetic entities, 200k distinct
+    mention surface forms (90% exact catalog names, 10% perturbed so the
+    multi-probe + rescue tiers see real traffic). Catalog and mentions
+    are materialized BEFORE the timed region — the wall is the link
+    itself: embed mentions, multi-probe bucket join, min_by top-1,
+    bounded rescue. Reports the rescue fraction (the bounded
+    approximate tier — should be ≪ 1%)."""
+    from pyspark.sql import functions as F
+
+    from semtools_spark.embedding import embed_udf
+    from semtools_spark.operators import kg
+
+    n_cat = 150_000
+    n_mention_src = 200_000
+    words = (
+        "corp labs systems group inc holdings tech media works global "
+        "north south atlas nova delta vertex orion helix quanta zephyr"
+    ).split()
+    name = F.concat_ws(
+        " ",
+        F.lit("entity"),
+        F.col("id").cast("string"),
+        F.element_at(F.array(*[F.lit(x) for x in words]), (F.col("id") % 19 + 1).cast("int")),
+        F.element_at(F.array(*[F.lit(x) for x in words]), (F.col("id") * 7 % 19 + 1).cast("int")),
+    )
+    catalog = (
+        spark.range(n_cat)
+        .select(F.col("id").alias("entity_id"), name.alias("name"))
+        .withColumn("embedding", embed_udf(dim=64)(F.col("name")))
+        .localCheckpoint()
+    )
+    cat_id = F.pmod(F.xxhash64("id"), F.lit(n_cat))
+    m_name = F.concat_ws(
+        " ",
+        F.lit("entity"),
+        cat_id.cast("string"),
+        F.element_at(F.array(*[F.lit(x) for x in words]), (cat_id % 19 + 1).cast("int")),
+        F.element_at(F.array(*[F.lit(x) for x in words]), (cat_id * 7 % 19 + 1).cast("int")),
+    )
+    # 10% of mentions get a suffix token: near-miss surface forms whose
+    # vector differs from every catalog row — bucket misses happen, the
+    # rescue tier gets exercised
+    mention = F.when(
+        F.col("id") % 10 == 0, F.concat(m_name, F.lit(" ltd"))
+    ).otherwise(m_name)
+    mentions = (
+        spark.range(n_mention_src).select(mention.alias("mention")).localCheckpoint()
+    )
+
+    t0 = time.time()
+    linked = kg.link_entities(
+        mentions, catalog, use_lsh_above=50_000, catalog_size=n_cat
+    )
+    agg = linked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rescued").cast("long")).alias("n_rescued"),
+    ).first()
+    wall = time.time() - t0
+    for b in getattr(linked, "_semtools_broadcasts", ()):
+        b.unpersist()
+    for c in getattr(linked, "_semtools_caches", ()):
+        c.unpersist()
+    return wall, {
+        "n_catalog": n_cat,
+        "n_distinct_mentions": int(agg["n"]),
+        "n_rescued": int(agg["n_rescued"]),
+        "rescue_rate": round(agg["n_rescued"] / max(1, agg["n"]), 6),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -93,6 +166,9 @@ def main():
     kg_wall, n_triples = _bench_webkg(spark, sf)
     timings["webkg_pipeline"] = round(kg_wall, 3)
 
+    lsh_wall, lsh_stats = _bench_lsh_link(spark)
+    timings["link_lsh_150k"] = round(lsh_wall, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_suite_seconds",
@@ -103,6 +179,7 @@ def main():
         "cpus": cpus,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / kg_wall, 1) if kg_wall else None,
+        "lsh_link": lsh_stats,
     }
     print(json.dumps(out))
     spark.stop()

@@ -249,9 +249,14 @@ def link_entities(
     if use_lsh_above is not None:
         n_cat = catalog_size if catalog_size is not None else catalog.count()
         use_lsh = n_cat > use_lsh_above
+    caches: list = []
     if use_lsh:
-        linked = _link_entities_lsh(distinct_m, catalog, dim=dim, seed=seed)
+        linked = _link_entities_lsh(
+            distinct_m, catalog, dim=dim, seed=seed,
+            catalog_size=(catalog_size if catalog_size is not None else n_cat),
+        )
         broadcasts = getattr(linked, "_semtools_broadcasts", [])
+        caches = getattr(linked, "_semtools_caches", [])
     else:
         pdf = catalog.select("entity_id", "embedding").toPandas()
         ids = np.asarray(pdf["entity_id"], dtype=np.int64)
@@ -271,6 +276,7 @@ def link_entities(
     if max_distance is not None:
         linked = linked.filter(F.col("link_distance") < float(max_distance))
     linked._semtools_broadcasts = broadcasts
+    linked._semtools_caches = caches
     return linked
 
 
@@ -280,11 +286,22 @@ def _link_entities_lsh(
     *,
     dim: int,
     seed: int,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_probes: int = 2,
     max_rescue_catalog: int = 10_000,
+    catalog_size: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed linking for catalogs too big to broadcast.
+
+    ``n_planes=None`` (default) scales the hyperplane count with the
+    catalog: ``max(8, bit_length(|catalog| // 32))``, clamped to 20 —
+    i.e. ~32 catalog rows per bucket. A FIXED plane count is a scale
+    bug: 8 planes = 256 buckets puts ~600 rows/bucket at a 150k-entity
+    catalog (measured 157 s for 124k mentions — ~2·10⁸ candidate pairs)
+    and 4·10⁴ rows/bucket at 10⁷ entities, quadratically worse; sizing
+    occupancy keeps the per-bucket candidate join flat as the catalog
+    grows (Lv et al., VLDB'07 — multi-probe exists precisely so high
+    plane counts don't cost recall).
 
     Three bounded tiers — NO crossJoin and NO single-reducer window
     anywhere (the r3 shape funneled |catalog| rows per missed mention
@@ -320,12 +337,24 @@ def _link_entities_lsh(
     )
 
     spark = distinct_m.sparkSession
+    if n_planes is None:
+        n_cat = catalog_size if catalog_size is not None else catalog.count()
+        n_planes = min(20, max(8, (max(1, n_cat) // 32).bit_length()))
     m_emb = distinct_m.withColumn(
         "embedding", embed_udf(dim=dim, seed=seed)(F.col("mention"))
     )
+    # m_probe feeds both the candidate join and the missed-mention
+    # computation: a lazy local checkpoint makes that ONE embed-UDF pass.
+    # (Lineage-cutting the downstream cosine join is deliberately NOT
+    # done: Dataset.localCheckpoint materialized the tiny top1 relation
+    # ~100x slower than computing it — 62 s for 1.5k mentions — and
+    # persist()'s columnar cache build over the array<float> candidate
+    # relation was slower still, 280 s vs 110 s end-to-end at a 150k
+    # catalog. Instead the plan below is shaped so the cosine join has
+    # exactly ONE consumer.)
     m_probe = multi_probe_signatures(
         m_emb, n_planes=n_planes, dim=dim, seed=seed, n_probes=n_probes
-    )
+    ).localCheckpoint(eager=False)
     m_cand = m_probe.select(
         "mention", "embedding", F.explode("probe_buckets").alias("lsh_bucket")
     )
@@ -348,9 +377,21 @@ def _link_entities_lsh(
         .agg(best)
         .select("mention", "__b.entity_id", "__b.link_distance")
     )
-    missed = m_probe.join(top1.select("mention"), "mention", "left_anti").select(
-        "mention"
+    # A mention reaches the rescue tier iff NONE of its probe buckets
+    # holds any catalog row — a bucket-SET semi-join over (mention,
+    # bucket) pairs, no embeddings and no cosine. Computing misses this
+    # way (instead of anti-joining against top1) keeps the expensive
+    # cosine join single-consumer, so it runs exactly once; the two
+    # formulations are equivalent because a mention appears in top1 iff
+    # some probe bucket produced a candidate pair.
+    cat_buckets = c_sig.select("lsh_bucket").distinct()
+    hit = (
+        m_cand.select("mention", "lsh_bucket")
+        .join(cat_buckets, "lsh_bucket", "left_semi")
+        .select("mention")
+        .distinct()
     )
+    missed = m_probe.select("mention").join(hit, "mention", "left_anti")
     sample = (
         catalog.select("entity_id", "embedding")
         # seeded pseudo-random subset: unbiased across the id range and

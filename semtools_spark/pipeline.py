@@ -322,6 +322,10 @@ def run_webkg_pipeline(
             # re-broadcast, so this is safe even on error paths.
             for b in getattr(df, "_semtools_broadcasts", ()):
                 b.unpersist()
+            # operator-attached cached DataFrames (e.g. the LSH link's
+            # probe/top1 materializations) — same release contract
+            for c in getattr(df, "_semtools_caches", ()):
+                c.unpersist()
         tracker = sc.statusTracker()
         tasks_ok = task_failures = 0
         for jid in tracker.getJobIdsForGroup(group):

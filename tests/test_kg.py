@@ -410,7 +410,30 @@ def test_graph_canon_join_strategy_is_aqe_chosen(spark, tri_docs):
     assert out.count() > 0
 
 
-def test_link_lsh_multi_probe_recovers_base_bucket_misses(spark):
+def test_link_lsh_auto_planes_scale_with_catalog_and_keep_total_recall(spark):
+    """r6: the hyperplane count auto-scales with the catalog (~32 rows
+    per bucket, clamped [8, 20]) — a fixed 8 planes is a scale bug
+    (600 rows/bucket at 150k entities → ~2·10⁸ candidate pairs). Pin
+    the formula, and pin that a deliberately oversized plane count on a
+    tiny catalog (every bucket empty → all mentions miss) still links
+    EVERY mention through the rescue floor."""
+    from pyspark.sql import functions as F
+
+    for n_cat, want in ((100, 8), (10_000, 9), (150_000, 13), (10**7, 19), (10**9, 20)):
+        got = min(20, max(8, (max(1, n_cat) // 32).bit_length()))
+        assert got == want, (n_cat, got)
+
+    catalog = kg.build_entity_catalog(spark, dim=16)
+    mentions = spark.createDataFrame(
+        [("spark",), ("table",), ("not in catalog at all",)], ["mention"]
+    )
+    out = kg._link_entities_lsh(
+        mentions, catalog, dim=16, seed=kg.DEFAULT_SEED, n_planes=16
+    ).collect()
+    assert len(out) == 3  # nothing dropped: misses fall to the rescue tier
+    by_m = {r.mention: r for r in out}
+    assert by_m["spark"].entity_id is not None
+    assert by_m["table"].entity_id is not None
     """Forced-miss verification of the multi-probe link path: mentions
     whose EXACT bucket holds no catalog entry but whose flipped-bit probe
     bucket does must link through tier 1 (bucket join) — their linked
