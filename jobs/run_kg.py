@@ -52,8 +52,11 @@ def main(argv: list[str] | None = None) -> int:
                          "ship it via --py-files). For real crawl HTML use "
                          "the shipped text-density extractor: "
                          "semtools_spark.operators.html_extract:"
-                         "extract_main_text. Default: the pinned "
-                         "JVM-regex extractor")
+                         "extract_main_text; for mixed PDF/HTML crawls "
+                         "use semtools_spark.operators.pdf_extract:"
+                         "extract_any (PDF magic -> pure-python PDF text "
+                         "extractor, else the HTML one). Default: the "
+                         "pinned JVM-regex extractor")
     ap.add_argument("--force", action="store_true",
                     help="recompute every stage, ignoring committed manifests")
     ap.add_argument("--cc-checkpoint", default=None,
