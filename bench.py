@@ -169,7 +169,10 @@ def main():
     lsh_wall, lsh_stats = _bench_lsh_link(spark)
     timings["link_lsh_150k"] = round(lsh_wall, 3)
 
-    total = round(sum(timings.values()), 3)
+    # headline value excludes the r6-added LSH entry so the suite total
+    # stays comparable with rounds 1-5 (per-query walls carry it; the
+    # full sum is value_incl_lsh)
+    total = round(sum(v for k, v in timings.items() if k != "link_lsh_150k"), 3)
     out = {
         "metric": "bench_suite_seconds",
         "value": total,
@@ -179,6 +182,7 @@ def main():
         "cpus": cpus,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / kg_wall, 1) if kg_wall else None,
+        "value_incl_lsh": round(total + timings["link_lsh_150k"], 3),
         "lsh_link": lsh_stats,
     }
     print(json.dumps(out))
