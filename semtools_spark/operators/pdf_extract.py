@@ -14,7 +14,10 @@ pinned default and the real-HTML extractor.
 Scope (documented, not silent):
 
 * **handled** — objects as ``N G obj … endobj`` (recovered by scanning,
-  so broken/absent xref tables still parse); page tree walk through
+  so broken/absent xref tables still parse); objects packed into
+  ``/Type /ObjStm`` object streams (the PDF 1.5+ compact layout most
+  modern writers emit — containers are found by the same scan, so xref
+  STREAMS need no decoding either); page tree walk through
   ``/Root → /Pages → /Kids`` with file-order fallback; ``/Contents`` as
   a single stream or an array; ``FlateDecode`` (incl. predictor-less
   arrays of one filter) or unfiltered streams; string literals with all
@@ -22,7 +25,6 @@ Scope (documented, not silent):
   ``TJ`` (with kerning-gap word splits), line breaks from ``Td``,
   ``TD``, ``T*``, ``Tm``; bytes decoded as PDFDocEncoding ≈ latin-1.
 * **not handled** (best-effort partial or empty result, never a raise) —
-  object streams (``/ObjStm``-packed objects, PDF 1.5 compact layout),
   CID/Type0 fonts needing ``/ToUnicode`` CMap mapping, encryption,
   LZW/DCT/JBIG2 filters. A production deployment swaps in a real parser
   behind the same slot; the Spark-side contract is identical.
@@ -220,7 +222,36 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
                 continue
             stream = data[start:end].rstrip(b"\r\n")
         objects[num] = (val, stream)
+    _expand_object_streams(objects)
     return objects
+
+
+def _expand_object_streams(objects) -> None:
+    """Unpack ``/Type /ObjStm`` containers (PDF 1.5+ compact layout): the
+    decoded stream holds N "objnum offset" header pairs, then the object
+    bodies starting at /First. Embedded objects carry no streams (spec
+    §7.5.7). Top-level objects win number collisions — an updated PDF's
+    appended objects supersede packed ones."""
+    packed: dict[int, object] = {}
+    for _num, (val, raw) in sorted(objects.items()):
+        if not (isinstance(val, dict) and val.get("Type") == "ObjStm" and raw):
+            continue
+        dec = _decode_stream(val, raw)
+        n, first = val.get("N"), val.get("First")
+        if dec is None or not isinstance(n, int) or not isinstance(first, int):
+            continue
+        try:
+            header = dec[:first].split()
+            for k in range(n):
+                onum = int(header[2 * k])
+                off = int(header[2 * k + 1])
+                oval, _ = _parse_value(dec, first + off)
+                packed.setdefault(onum, oval)
+        except (ValueError, IndexError, AssertionError):
+            continue
+    for onum, oval in packed.items():
+        if onum not in objects:
+            objects[onum] = (oval, None)
 
 
 def _resolve(val, objects, depth: int = 0):

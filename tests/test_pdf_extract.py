@@ -56,6 +56,55 @@ def _mk_pdf(page_streams: list[bytes], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def _mk_pdf_objstm(page_streams: list[bytes]) -> bytes:
+    """PDF 1.5-style compact layout: the catalog/pages/page dictionaries
+    live packed inside a Flate-compressed /Type /ObjStm container; only
+    the content streams (and the container itself) are top-level objects
+    — the layout modern writers emit."""
+    n_pages = len(page_streams)
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    embedded: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()),
+    ]
+    content_base = 3 + n_pages
+    for i in range(n_pages):
+        embedded.append(
+            (
+                3 + i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {content_base + i} 0 R >>"
+                ).encode(),
+            )
+        )
+    header = bytearray()
+    bodies = bytearray()
+    for num, body in embedded:
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += body + b" "
+    payload = bytes(header) + bytes(bodies)
+    first = len(header)
+    packed = zlib.compress(payload, 9)
+
+    out = bytearray(b"%PDF-1.5\n")
+    objstm_num = content_base + n_pages
+    for i, content in enumerate(page_streams):
+        data = zlib.compress(content, 9)
+        out += (
+            f"{content_base + i} 0 obj\n<< /Filter /FlateDecode "
+            f"/Length {len(data)} >>\nstream\n".encode()
+            + data + b"\nendstream\nendobj\n"
+        )
+    out += (
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(embedded)} "
+        f"/First {first} /Filter /FlateDecode /Length {len(packed)} "
+        f">>\nstream\n".encode()
+        + packed + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 PAGE1 = (
     b"BT /F1 12 Tf 72 720 Td (Spark-native analytics at web scale) Tj "
     b"0 -14 Td (Second line of the first page.) Tj ET"
@@ -103,6 +152,28 @@ def test_string_escapes_hex_strings_and_quote_ops():
     )
     got = PX.extract_pdf_text(_mk_pdf([content]))
     assert got == "paren ( pair ) back\\slash oct A\nHex string\ntab\there"
+
+
+def test_extracts_objstm_compact_layout():
+    """PDF 1.5+ object streams: catalog/pages/page dicts packed inside a
+    Flate /ObjStm container — the layout modern writers emit — extract
+    identically to the classic layout, preserving page-tree order."""
+    got = PX.extract_pdf_text(_mk_pdf_objstm([PAGE1, PAGE2]))
+    assert got == PX.extract_pdf_text(_mk_pdf([PAGE1, PAGE2]))
+    assert got.startswith("Spark-native analytics")
+    # committed fixture pinned to the builder, same honesty contract
+    with open(os.path.join(FIXTURE_DIR, "two_page_objstm.pdf"), "rb") as f:
+        assert f.read() == _mk_pdf_objstm([PAGE1, PAGE2])
+
+
+def test_objstm_corrupt_container_degrades():
+    data = _mk_pdf_objstm([PAGE1])
+    # corrupt the ObjStm payload: the container is skipped, the content
+    # stream objects survive, result degrades to empty — never a raise
+    broken = data.replace(b"/Type /ObjStm", b"/Type /ObjStm /X")
+    pos = broken.rfind(b"stream\n") + len(b"stream\n")
+    broken = broken[:pos] + b"\xff\xfe" + broken[pos + 2 :]
+    assert isinstance(PX.extract_pdf_text(broken), str)
 
 
 def test_page_order_follows_catalog_tree_not_file_order():
