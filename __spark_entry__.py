@@ -1072,6 +1072,9 @@ def _q_text_profile(spark, sf_dir):
         "lang_pred",
         "quality_milli",
         F.col("fingerprint").cast("long"),
+        "dup_token_milli",
+        "top_token_milli",
+        "dup_bigram_milli",
     )
 
 
@@ -1643,7 +1646,10 @@ def oracle_sql() -> dict[str, str]:
             f"{textstats.token_count_sql_duckdb('text')} AS n_tokens, "
             f"{textstats.lang_id_sql_duckdb('text')} AS lang_pred, "
             f"{textstats.quality_score_sql_duckdb('text')} AS quality_milli, "
-            f"CAST({textstats.fingerprint64_sql_duckdb('text')} AS BIGINT) AS fingerprint "
+            f"CAST({textstats.fingerprint64_sql_duckdb('text')} AS BIGINT) AS fingerprint, "
+            f"{textstats.dup_token_frac_sql_duckdb('text')} AS dup_token_milli, "
+            f"{textstats.top_token_frac_sql_duckdb('text')} AS top_token_milli, "
+            f"{textstats.dup_bigram_frac_sql_duckdb('text')} AS dup_bigram_milli "
             f"FROM documents"
         ),
         "lang_distribution": (

@@ -122,13 +122,96 @@ def fingerprint64_sql_duckdb(text_expr: str = "text") -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# repetition signals (round 6) — the within-document duplication filters of
+# the public web-corpus literature (Rae et al., "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", 2021, §A1.1 repetition
+# rules; Penedo et al., "The RefinedWeb Dataset", 2023). All integer milli
+# fractions, floor()ed on both engines, pure codegen.
+# ---------------------------------------------------------------------------
+
+def dup_token_frac_milli(text_col: str = "text") -> Column:
+    """1000 × (fraction of tokens that repeat an earlier token): a
+    boilerplate / keyword-stuffing signal. 0 for empty docs."""
+    arr = f"split(trim({text_col}), '\\\\s+')"
+    return F.expr(
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0L ELSE "
+        f"FLOOR(1000 * (size({arr}) - size(array_distinct({arr}))) / size({arr})) END"
+    ).cast("long")
+
+
+def dup_token_frac_sql_duckdb(text_expr: str = "text") -> str:
+    arr = f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    return (
+        f"CAST(CASE WHEN length(trim({text_expr})) = 0 THEN 0 ELSE "
+        f"floor(1000.0 * (len({arr}) - len(list_distinct({arr}))) / len({arr})) "
+        f"END AS BIGINT)"
+    )
+
+
+def top_token_frac_milli(text_col: str = "text") -> Column:
+    """1000 × (fraction of tokens equal to the single most frequent
+    token) — Gopher's most-common-word rule. O(distinct × n) per doc,
+    fully inside codegen (no shuffle, no UDF)."""
+    arr = f"split(trim({text_col}), '\\\\s+')"
+    top = (
+        f"array_max(transform(array_distinct({arr}), "
+        f"t -> size(filter({arr}, x -> x = t))))"
+    )
+    return F.expr(
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0L ELSE "
+        f"FLOOR(1000 * {top} / size({arr})) END"
+    ).cast("long")
+
+
+def top_token_frac_sql_duckdb(text_expr: str = "text") -> str:
+    arr = f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    top = (
+        f"list_max(list_transform(list_distinct({arr}), "
+        f"t -> len(list_filter({arr}, x -> x = t))))"
+    )
+    return (
+        f"CAST(CASE WHEN length(trim({text_expr})) = 0 THEN 0 ELSE "
+        f"floor(1000.0 * {top} / len({arr})) END AS BIGINT)"
+    )
+
+
+def dup_bigram_frac_milli(text_col: str = "text") -> Column:
+    """1000 × (fraction of word 2-grams that repeat an earlier 2-gram) —
+    the top-n-gram duplication rule; catches templated/spun text whose
+    token-level duplication looks normal. 0 for docs under 2 tokens."""
+    arr = f"split(trim({text_col}), '\\\\s+')"
+    bi = (
+        f"transform(sequence(1, size({arr}) - 1), "
+        f"i -> concat(element_at({arr}, i), ' ', element_at({arr}, i + 1)))"
+    )
+    return F.expr(
+        f"CASE WHEN length(trim({text_col})) = 0 OR size({arr}) < 2 THEN 0L ELSE "
+        f"FLOOR(1000 * (size({bi}) - size(array_distinct({bi}))) / size({bi})) END"
+    ).cast("long")
+
+
+def dup_bigram_frac_sql_duckdb(text_expr: str = "text") -> str:
+    arr = f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    bi = f"list_transform(range(1, len({arr})), i -> {arr}[i] || ' ' || {arr}[i+1])"
+    return (
+        f"CAST(CASE WHEN length(trim({text_expr})) = 0 OR len({arr}) < 2 THEN 0 ELSE "
+        f"floor(1000.0 * (len({bi}) - len(list_distinct({bi}))) / len({bi})) "
+        f"END AS BIGINT)"
+    )
+
+
 def profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per doc: token count, detected language, quality score,
-    fingerprint — the text-analysis sweep a training pipeline runs first."""
+    fingerprint, and the three repetition signals — the text-analysis
+    sweep a training pipeline runs first."""
     return docs.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
         lang_id_expr(text_col).alias("lang_pred"),
         quality_score_milli(text_col).alias("quality_milli"),
         fingerprint64(text_col).alias("fingerprint"),
+        dup_token_frac_milli(text_col).alias("dup_token_milli"),
+        top_token_frac_milli(text_col).alias("top_token_milli"),
+        dup_bigram_frac_milli(text_col).alias("dup_bigram_milli"),
     )

@@ -1,0 +1,72 @@
+"""Text-analysis operators: crafted-document pins for the repetition
+signals (Gopher §A1.1 / RefinedWeb-style within-doc duplication rules)
+added in round 6 — the sf-corpus word soup exercises them statistically
+via the text_profile gate; these pins check the arithmetic exactly."""
+
+from __future__ import annotations
+
+from semtools_spark.operators import textstats as TS
+
+
+def _profile_one(spark, text: str) -> dict:
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = TS.profile(df).first()
+    return r.asDict()
+
+
+def test_repetition_signals_on_crafted_docs(spark):
+    # all-distinct tokens: zero duplication everywhere, top token = 1/n
+    r = _profile_one(spark, "alpha beta gamma delta")
+    assert r["dup_token_milli"] == 0
+    assert r["top_token_milli"] == 250  # 1/4
+    assert r["dup_bigram_milli"] == 0
+
+    # one token repeated to 100%: "spam spam spam spam"
+    r = _profile_one(spark, "spam spam spam spam")
+    assert r["dup_token_milli"] == 750   # 3 of 4 repeat an earlier token
+    assert r["top_token_milli"] == 1000  # every token is the mode
+    assert r["dup_bigram_milli"] == 666  # 2 of 3 bigrams repeat
+
+    # templated spin: bigrams repeat though token-level dup is moderate
+    r = _profile_one(spark, "buy now buy now buy now")
+    assert r["dup_token_milli"] == 666   # 4 of 6
+    assert r["top_token_milli"] == 500   # 3 of 6
+    assert r["dup_bigram_milli"] == 600  # 5 bigrams, 2 distinct -> 3/5
+
+    # degenerate inputs never divide by zero
+    assert _profile_one(spark, "")["dup_token_milli"] == 0
+    assert _profile_one(spark, "")["top_token_milli"] == 0
+    one = _profile_one(spark, "solo")
+    assert one["dup_bigram_milli"] == 0 and one["top_token_milli"] == 1000
+
+
+def test_repetition_signals_match_duckdb_on_crafted_docs(spark):
+    """The same crafted docs through BOTH engines' expressions — the
+    sf-corpus gate proves statistical parity; this proves it on the
+    adversarial edge shapes (empty, single token, full repetition)."""
+    import duckdb
+
+    texts = [
+        "", "solo", "a a", "a b a b a", "the the the quick quick",
+        "x y z x y z x y", "one two three four five",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.dup_token_milli, r.top_token_milli, r.dup_bigram_milli)
+        for r in TS.profile(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+                + ") t(doc_id, text)")
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(
+            f"SELECT doc_id, {TS.dup_token_frac_sql_duckdb('text')}, "
+            f"{TS.top_token_frac_sql_duckdb('text')}, "
+            f"{TS.dup_bigram_frac_sql_duckdb('text')} FROM documents"
+        ).fetchall()
+    }
+    assert got == want
