@@ -668,6 +668,80 @@ def test_reader_snapshot_isolation_mid_multi_bucket_commit(spark, tmp_path, monk
     assert after == {(i, f"v2-{i}") for i in range(32)}
 
 
+def test_generation_commit_crash_swept_at_every_io_boundary(spark, tmp_path, monkeypatch):
+    """Exhaustive crash sweep of the v2 commit: kill the MERGE at every
+    single hfs rename/write/delete boundary in turn. After every kill, a
+    snapshot read must equal EXACTLY the old or the new table content —
+    never a mix, never a loss — and an idempotent re-run must converge
+    to the new content. This is the property the generation pointer
+    exists to provide; the sweep proves it has no bad window."""
+    import shutil
+
+    from semtools_spark import fs as hfs
+
+    t = str(tmp_path / "crash_sweep_t")
+    first = spark.createDataFrame(
+        [(i, f"v1-{i}") for i in range(24)], "doc long, payload string"
+    )
+    W.merge_upsert(spark, t, first, ("doc",), num_buckets=4)
+    pristine = str(tmp_path / "pristine")
+    shutil.copytree(t, pristine)
+    old_rows = {(i, f"v1-{i}") for i in range(24)}
+    new_rows = {(i, f"v2-{i}") for i in range(24)}
+
+    def upd():
+        return spark.createDataFrame(
+            [(i, f"v2-{i}") for i in range(24)], "doc long, payload string"
+        )
+
+    real = {"rename": hfs.rename, "write_text": hfs.write_text, "delete": hfs.delete}
+
+    # dry run: count the IO boundaries of one full commit
+    ops = {"n": 0, "budget": None}
+
+    def wrap(name):
+        fn = real[name]
+
+        def _w(spark_, *a, **kw):
+            if ops["budget"] is not None:
+                if ops["n"] >= ops["budget"]:
+                    raise RuntimeError("injected crash")
+            ops["n"] += 1
+            return fn(spark_, *a, **kw)
+
+        return _w
+
+    for name in real:
+        monkeypatch.setattr(hfs, name, wrap(name))
+    W.merge_upsert(spark, t, upd(), ("doc",), num_buckets=4)
+    total_ops = ops["n"]
+    assert total_ops > 4, total_ops
+
+    def read_rows():
+        return {tuple(r) for r in W._read_snapshot(spark, t).drop(W.BUCKET_COL).collect()}
+
+    mixes = []
+    for k in range(total_ops):
+        shutil.rmtree(t, ignore_errors=True)
+        shutil.copytree(pristine, t)
+        ops["n"], ops["budget"] = 0, k
+        try:
+            W.merge_upsert(spark, t, upd(), ("doc",), num_buckets=4)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        ops["budget"] = None
+        got = read_rows()
+        if got not in (old_rows, new_rows):
+            mixes.append((k, crashed, sorted(got)[:4]))
+            continue
+        # recovery: the idempotent re-run converges to the new content
+        ops["n"] = 0
+        W.merge_upsert(spark, t, upd(), ("doc",), num_buckets=4)
+        assert read_rows() == new_rows, f"crash point {k}: re-run did not converge"
+    assert not mixes, f"inconsistent snapshots at crash points: {mixes}"
+
+
 def test_stale_lease_reclaim_is_atomic_tombstone(spark, tmp_path, docs, monkeypatch):
     """ADVICE r5 (medium): reclaiming a stale lease renames it to a
     tombstone — of N racers exactly one rename succeeds; a loser raises
