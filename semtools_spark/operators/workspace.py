@@ -21,13 +21,20 @@ partitions ``__bucket = pmod(xxhash64(doc), n_buckets)`` (the Iceberg
 stand-in — no connector jars in this sandbox). MERGE/DELETE are
 emulated as anti-join ∪ updates **scoped to the buckets containing the
 updated keys**: only those bucket directories are read (partition-pruned
-scan) and atomically swapped — O(delta) per incremental sync, not
-O(table), which is what makes the incremental story survive a 100 TB
-workspace. The idempotent-upsert semantics the reference gets from
-content-derived ids (store.rs:972-975) are preserved: re-running any
-MERGE/DELETE converges, which is also the crash-repair story for a kill
-mid-bucket-sequence. At cluster scale the same code targets Iceberg
-`MERGE INTO` — the join shape is identical.
+scan) — O(delta) per incremental sync, not O(table), which is what
+makes the incremental story survive a 100 TB workspace. Since r6 the
+commit is SNAPSHOT-ISOLATED: touched buckets stage immutable
+``g_<run>`` generation dirs and one atomically-published
+``_current.<seq>.json`` pointer is the single commit point (see the
+protocol comment at :func:`_gen_pointer`), so concurrent readers never
+observe a half-committed multi-bucket swap. The idempotent-upsert
+semantics the reference gets from content-derived ids
+(store.rs:972-975) are preserved: re-running any MERGE/DELETE
+converges, which is also the crash-repair story for a kill anywhere in
+the commit (exhaustive IO-boundary crash sweep in
+tests/test_workspace.py). At cluster scale the same code targets
+Iceberg `MERGE INTO` — the join shape is identical and the pointer IS
+the poor-man's snapshot Iceberg metadata would provide.
 
 Every table/config path goes through the Hadoop FS API
 (:mod:`semtools_spark.fs`) of the session's Hadoop conf — the same code
