@@ -36,6 +36,15 @@ tests/test_workspace.py). At cluster scale the same code targets
 Iceberg `MERGE INTO` — the join shape is identical and the pointer IS
 the poor-man's snapshot Iceberg metadata would provide.
 
+Known limitation (scoped like Iceberg's): isolation is PER TABLE. One
+sync commits lines then manifest, so a reader between the two commits
+can pair the new lines snapshot with the old manifest — each internally
+consistent, jointly one mutation apart. Multi-table transactions are
+what a real catalog adds on top (Iceberg needs one too); within this
+module the pairing is harmless to search (lines are scored, the
+manifest only gates state classification) and the writer lease keeps
+mutations serialized.
+
 Every table/config path goes through the Hadoop FS API
 (:mod:`semtools_spark.fs`) of the session's Hadoop conf — the same code
 runs against file://, hdfs://, or an object-store connector; no
