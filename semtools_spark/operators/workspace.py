@@ -254,38 +254,74 @@ def _write_gen_pointer(
         raise IOError(f"generation commit: could not publish {dst}")
 
 
+_INTENT_PREFIX = ".__intent_"
+
+
+def _write_intent(
+    spark: SparkSession, table_path: str, run: str, part_col: str, frags: list[str]
+) -> str:
+    """Record which partition dirs a commit is about to touch. The sweep
+    reads these instead of walking EVERY bucket directory — without the
+    intent, crash GC would be O(all buckets) per mutation (one listdir
+    per bucket dir: half a million FS calls on a 100 TB table), which
+    betrays the O(delta) MERGE contract the bucketing exists for."""
+    import json
+
+    path = f"{table_path}/{_INTENT_PREFIX}{run}.json"
+    hfs.write_text(spark, path, json.dumps({"part_col": part_col, "frags": frags}))
+    return path
+
+
 def _gen_sweep(spark: SparkSession, table_path: str) -> None:
     """Writer-side GC (run under the lease, or at open-time repair when
     no live foreign lease): drop pointer files below the current
-    sequence, generation dirs the current pointer does not reference
-    (staged by a crashed writer, or replaced by a committed one), and
-    orphaned ``.__ptr_tmp_`` files. No-op on legacy tables."""
+    sequence, orphaned ``.__ptr_tmp_`` files, and — for each leftover
+    commit intent — generation dirs the current pointer does not
+    reference in THAT commit's touched buckets (staged by a crashed
+    writer, or replaced-but-not-collected by a crashed GC). One root
+    listing when clean; O(touched buckets of crashed commits) otherwise.
+    No-op on legacy tables."""
+    import json
+
     ptr = _gen_pointer(spark, table_path)
     if ptr is None:
         return
-    seq, part_col, gens = ptr
+    seq, _part_col, gens = ptr
+    intents: list[str] = []
     for name, _size, is_dir in hfs.listdir(spark, table_path):
         full = f"{table_path}/{name}"
-        if not is_dir:
-            if name.startswith(".__ptr_tmp_"):
-                hfs.delete(spark, full)
-            elif name.startswith(_POINTER_PREFIX) and name.endswith(".json"):
-                try:
-                    if int(name[len(_POINTER_PREFIX):-len(".json")]) < seq:
-                        hfs.delete(spark, full)
-                except ValueError:
-                    pass
+        if is_dir:
             continue
-        if not name.startswith(f"{part_col}="):
-            continue
-        part_val = name.split("=", 1)[1]
-        want = gens.get(part_val)
-        if want is None:
-            hfs.delete(spark, full)  # bucket no longer referenced
-            continue
-        for sub, _s, sub_dir in hfs.listdir(spark, full):
-            if sub_dir and sub.startswith("g_") and sub != want:
-                hfs.delete(spark, f"{full}/{sub}")
+        if name.startswith(".__ptr_tmp_"):
+            hfs.delete(spark, full)
+        elif name.startswith(_INTENT_PREFIX):
+            intents.append(full)
+        elif name.startswith(_POINTER_PREFIX) and name.endswith(".json"):
+            try:
+                if int(name[len(_POINTER_PREFIX):-len(".json")]) < seq:
+                    hfs.delete(spark, full)
+            except ValueError:
+                pass
+    for intent_path in intents:
+        text = hfs.read_text(spark, intent_path)
+        if text is not None:
+            try:
+                intent = json.loads(text)
+            except ValueError:
+                intent = {"frags": []}
+            for frag in intent.get("frags", ()):
+                part_dir = f"{table_path}/{frag}"
+                if not hfs.exists(spark, part_dir):
+                    continue
+                part_val = frag.split("=", 1)[1]
+                want = gens.get(part_val)
+                if want is None:
+                    hfs.delete(spark, part_dir)  # bucket no longer referenced
+                    continue
+                for sub, _s, sub_dir in hfs.listdir(spark, part_dir):
+                    if sub_dir and sub.startswith("g_") and sub != want:
+                        hfs.delete(spark, f"{part_dir}/{sub}")
+        hfs.delete(spark, intent_path)
 
 
 def _read_snapshot(
@@ -414,12 +450,18 @@ def _swap_buckets(
                 f"not {part_col}"
             )
         # (crashed writers' staged generations were swept by
-        # _sweep_stale_swap_dirs above)
+        # _sweep_stale_swap_dirs above, guided by their intent files)
         run = uuid.uuid4().hex[:12]
         tmp = f"{table_path}.__tmp_{run}"
         merged.write.partitionBy(part_col).parquet(tmp)
         gen = f"g_{run}"
         new_gens = dict(gens)
+        # commit intent BEFORE staging: names the touched partition dirs
+        # so a crash anywhere below is swept in O(touched), not by
+        # walking every bucket of the table
+        intent_path = _write_intent(
+            spark, table_path, run, part_col, [f"{part_col}={k}" for k in touched]
+        )
         for k in touched:
             frag = f"{part_col}={k}"
             src = f"{tmp}/{frag}"
@@ -446,6 +488,7 @@ def _swap_buckets(
             elif old_gen is not None and old_gen != new_gens[str(k)]:
                 hfs.delete(spark, f"{table_path}/{frag}/{old_gen}")
         hfs.delete(spark, f"{table_path}/{_POINTER_PREFIX}{seq}.json")
+        hfs.delete(spark, intent_path)  # GC complete: retire the intent
         return
     run = uuid.uuid4().hex
     tmp = f"{table_path}.__tmp_{run}"
