@@ -201,6 +201,36 @@ def dup_bigram_frac_sql_duckdb(text_expr: str = "text") -> str:
     )
 
 
+def filter_training_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality_milli: int = 300,
+    max_dup_token_milli: int = 900,
+    max_top_token_milli: int = 300,
+    max_dup_bigram_milli: int = 600,
+) -> DataFrame:
+    """The keep-side of a Gopher-style document filter: length band,
+    quality floor, and the three repetition caps applied in one pass.
+    Returns the input rows that survive, untouched — map-only (every
+    signal is a codegen expression over the text column; no shuffle, no
+    UDF), so at 100 TB this is a pure scan stage that composes with
+    predicate pushdown on any other filter. Thresholds default to the
+    shape of the public literature's rules (Rae et al. 2021 A1.1) scaled
+    to milli units; callers tune per corpus."""
+    keep = (
+        token_count(text_col).between(min_tokens, max_tokens)
+        & (quality_score_milli(text_col) >= min_quality_milli)
+        & (dup_token_frac_milli(text_col) <= max_dup_token_milli)
+        & (top_token_frac_milli(text_col) <= max_top_token_milli)
+        & (dup_bigram_frac_milli(text_col) <= max_dup_bigram_milli)
+    )
+    return docs.filter(keep)
+
+
 def profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per doc: token count, detected language, quality score,
     fingerprint, and the three repetition signals — the text-analysis

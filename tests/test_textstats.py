@@ -40,6 +40,35 @@ def test_repetition_signals_on_crafted_docs(spark):
     assert one["dup_bigram_milli"] == 0 and one["top_token_milli"] == 1000
 
 
+def test_filter_training_docs_composition(spark):
+    """The one-pass Gopher-style keep filter: each rule independently
+    rejects its crafted offender; a normal document survives; the plan
+    is map-only (no Exchange — the 100 TB shape is a pure scan)."""
+    good = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # survives
+            (2, "too short"),                            # min_tokens
+            (3, " ".join(["spam"] * 40)),                # top-token + dup caps
+            (4, " ".join(["buy now"] * 20)),             # dup-bigram cap
+            (5, " ".join(f"w{i}" for i in range(40))),   # quality floor (alpha ratio)
+        ],
+        ["doc_id", "text"],
+    )
+    kept = [
+        r.doc_id
+        for r in TS.filter_training_docs(docs, min_quality_milli=400)
+        .select("doc_id")
+        .collect()
+    ]
+    assert kept == [1], kept
+    plan = (
+        TS.filter_training_docs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_repetition_signals_match_duckdb_on_crafted_docs(spark):
     """The same crafted docs through BOTH engines' expressions — the
     sf-corpus gate proves statistical parity; this proves it on the
