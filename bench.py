@@ -131,8 +131,6 @@ def _bench_lsh_link(spark) -> tuple[float, dict]:
     wall = time.time() - t0
     for b in getattr(linked, "_semtools_broadcasts", ()):
         b.unpersist()
-    for c in getattr(linked, "_semtools_caches", ()):
-        c.unpersist()
     return wall, {
         "n_catalog": n_cat,
         "n_distinct_mentions": int(agg["n"]),

@@ -249,14 +249,12 @@ def link_entities(
     if use_lsh_above is not None:
         n_cat = catalog_size if catalog_size is not None else catalog.count()
         use_lsh = n_cat > use_lsh_above
-    caches: list = []
     if use_lsh:
         linked = _link_entities_lsh(
             distinct_m, catalog, dim=dim, seed=seed,
             catalog_size=(catalog_size if catalog_size is not None else n_cat),
         )
         broadcasts = getattr(linked, "_semtools_broadcasts", [])
-        caches = getattr(linked, "_semtools_caches", [])
     else:
         pdf = catalog.select("entity_id", "embedding").toPandas()
         ids = np.asarray(pdf["entity_id"], dtype=np.int64)
@@ -276,7 +274,6 @@ def link_entities(
     if max_distance is not None:
         linked = linked.filter(F.col("link_distance") < float(max_distance))
     linked._semtools_broadcasts = broadcasts
-    linked._semtools_caches = caches
     return linked
 
 

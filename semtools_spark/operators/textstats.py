@@ -151,12 +151,21 @@ def dup_token_frac_sql_duckdb(text_expr: str = "text") -> str:
 
 def top_token_frac_milli(text_col: str = "text") -> Column:
     """1000 × (fraction of tokens equal to the single most frequent
-    token) — Gopher's most-common-word rule. O(distinct × n) per doc,
-    fully inside codegen (no shuffle, no UDF)."""
+    token) — Gopher's most-common-word rule. O(n log n) per doc:
+    array_sort then a single aggregate() pass tracking the longest
+    adjacent run (equal tokens are adjacent after the sort), all
+    inside codegen (no shuffle, no UDF). The earlier
+    transform(array_distinct(...), t -> size(filter(...))) shape was
+    O(distinct × n) — ~10^10 comparisons in ONE task for a 100k-token
+    mostly-distinct doc, a straggler generator at corpus scale."""
     arr = f"split(trim({text_col}), '\\\\s+')"
+    run = "IF(t <=> a.prev, a.run + 1L, 1L)"
     top = (
-        f"array_max(transform(array_distinct({arr}), "
-        f"t -> size(filter({arr}, x -> x = t))))"
+        f"aggregate(array_sort({arr}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        f"(a, t) -> named_struct('prev', t, 'run', {run}, "
+        f"'best', GREATEST(a.best, {run})), "
+        f"a -> a.best)"
     )
     return F.expr(
         f"CASE WHEN length(trim({text_col})) = 0 THEN 0L ELSE "

@@ -287,6 +287,17 @@ def _gen_sweep(spark: SparkSession, table_path: str) -> None:
     if ptr is None:
         return
     seq, _part_col, gens = ptr
+    if not gens:
+        # An empty-gens pointer is the signature of a delete_keys that
+        # emptied EVERY bucket: the commit published {} and the caller
+        # then removes the table root — a crash between the two leaves
+        # this pointer as the table's final state. It references no
+        # data, so the root is removable; finishing the delete here
+        # restores convergence (otherwise _read_snapshot raises on
+        # every read, the idempotent re-run hits the same raise, and
+        # no mutation path ever repairs it).
+        hfs.delete(spark, table_path)
+        return
     intents: list[str] = []
     for name, _size, is_dir in hfs.listdir(spark, table_path):
         full = f"{table_path}/{name}"
@@ -342,7 +353,8 @@ def _read_snapshot(
     if not leafs:
         raise IOError(
             f"generation pointer at {table_path} references no data "
-            "(an all-buckets-deleted table should have been removed)"
+            "(an all-buckets-deleted table whose root removal crashed; "
+            "_gen_sweep repairs this at the next writer open)"
         )
     return spark.read.option("basePath", table_path).parquet(*leafs)
 

@@ -119,24 +119,20 @@ class CheckpointManifest:
         return name.rsplit(".", 1)[0]
 
     def _live_names(self) -> list[str]:
-        """Sorted manifest file names a reader should consume: the
-        highest-stem segment (if any) plus record files newer than it."""
-        segs: list[str] = []
-        recs: list[str] = []
+        """Sorted manifest file names a reader should consume: every
+        segment plus every loose record file. A loose record is removed
+        only when a compact() folds that exact file name into a segment,
+        so a concurrently committed record whose clock-lagged stem sorts
+        below an existing segment stays readable (and gets folded by the
+        next compact) instead of being silently dropped. Duplicate
+        records across overlapping segments are harmless to committed()
+        and deduplicated at the next fold."""
+        out: list[str] = []
         for name, _size, is_dir in hfs.listdir(self.spark, self.path):
             if is_dir or name.startswith("."):
                 continue
-            if name.endswith(self.SEGMENT_EXT):
-                segs.append(name)
-            elif name.endswith(".json"):
-                recs.append(name)
-        out: list[str] = []
-        cut = ""
-        if segs:
-            latest = max(segs, key=self._stem)
-            cut = self._stem(latest)
-            out.append(latest)
-        out.extend(n for n in recs if self._stem(n) > cut)
+            if name.endswith(self.SEGMENT_EXT) or name.endswith(".json"):
+                out.append(name)
         return sorted(out, key=self._stem)
 
     def entries(self) -> list[dict]:
@@ -179,23 +175,38 @@ class CheckpointManifest:
         self._records_by_name[name] = [record]
 
     def compact(self) -> int:
-        """Fold every live manifest file into one segment; returns the
-        number of files folded (0 = nothing to do). Crash-safe: the
-        segment appears atomically under the stem of the LAST folded
-        file, which supersedes everything at or below it — cleanup of the
-        superseded files afterwards is garbage collection, not part of
-        the commit."""
+        """Fold every live manifest file into one deduplicated segment;
+        returns the number of files folded (0 = nothing to do).
+        Crash-safe, and safe against concurrent committers with lagging
+        clocks: cleanup deletes ONLY the exact file names that were
+        folded — never "everything whose stem sorts at or below the
+        segment" — so a record committed concurrently by a second driver
+        (cross-driver appends to one out_dir are supported) can never be
+        deleted without being inside a segment. A crash between the
+        segment rename and the per-name deletes double-stores some
+        records; the dedup on the next fold collapses them."""
         live = self._live_names()
         if len(live) <= 1:
             return 0
         records: list[dict] = []
+        seen: set[str] = set()
         for name in live:
             text = hfs.read_text(self.spark, f"{self.path}/{name}")
-            if text:
-                records.extend(
-                    json.loads(ln) for ln in text.splitlines() if ln.strip()
-                )
+            if not text:
+                continue
+            for ln in text.splitlines():
+                if not ln.strip():
+                    continue
+                r = json.loads(ln)
+                key = json.dumps(r, sort_keys=True)
+                if key not in seen:
+                    seen.add(key)
+                    records.append(r)
         seg = f"{self._stem(live[-1])}{self.SEGMENT_EXT}"
+        if seg in live:
+            # refolding on top of an existing highest-stem segment —
+            # pick a fresh unique name (ordering no longer gates reads)
+            seg = f"{self._stem(live[-1])}-{uuid.uuid4().hex}{self.SEGMENT_EXT}"
         tmp = f"{self.path}/.tmp_{seg}"
         hfs.write_text(
             self.spark,
@@ -203,19 +214,15 @@ class CheckpointManifest:
             "".join(json.dumps(r, sort_keys=True) + "\n" for r in records),
         )
         if not hfs.rename(self.spark, tmp, f"{self.path}/{seg}"):
-            # a racing compactor published the same stem first — its
-            # segment contains our records; nothing lost
+            # a racing compactor published the same name first; our
+            # sources stay live and the next fold picks them up
             hfs.delete(self.spark, tmp)
             return 0
-        cut = self._stem(seg)
-        for name, _size, is_dir in hfs.listdir(self.spark, self.path):
-            if is_dir or name.startswith(".") or name == seg:
+        for name in live:
+            if name == seg:
                 continue
-            if (
-                name.endswith(".json") or name.endswith(self.SEGMENT_EXT)
-            ) and self._stem(name) <= cut:
-                hfs.delete(self.spark, f"{self.path}/{name}")
-                self._records_by_name.pop(name, None)
+            hfs.delete(self.spark, f"{self.path}/{name}")
+            self._records_by_name.pop(name, None)
         self._records_by_name[seg] = records
         return len(live)
 
@@ -322,10 +329,12 @@ def run_webkg_pipeline(
             # re-broadcast, so this is safe even on error paths.
             for b in getattr(df, "_semtools_broadcasts", ()):
                 b.unpersist()
-            # operator-attached cached DataFrames (e.g. the LSH link's
-            # probe/top1 materializations) — same release contract
-            for c in getattr(df, "_semtools_caches", ()):
-                c.unpersist()
+            # lazy localCheckpoint blocks held by operators (the LSH
+            # link's m_probe, dedup's exploded-token relation) are NOT
+            # releasable through DataFrame.unpersist() — they belong to
+            # an internal RDD the API doesn't expose. They're freed by
+            # the ContextCleaner once the stage-local `df` (the only
+            # reference) goes out of scope at this function's exit.
         tracker = sc.statusTracker()
         tasks_ok = task_failures = 0
         for jid in tracker.getJobIdsForGroup(group):

@@ -207,6 +207,46 @@ def test_manifest_compaction_folds_records_and_caches_probes(spark, tmp_path, mo
     assert len(m4.entries()) == CheckpointManifest.COMPACT_AFTER + 1
 
 
+def test_compact_never_deletes_unfolded_lagging_clock_record(spark, tmp_path):
+    """ADVICE r6 (low): compact() used to delete EVERY record file whose
+    stem sorted at or below the segment stem — a record committed
+    concurrently by a second driver whose clock lags the segment stem
+    was deleted without being in the segment (silent loss; its stage
+    re-ran on resume). Now cleanup deletes only the exact names that
+    were folded, readers consume every loose record regardless of stem
+    order, and the next fold absorbs the laggard."""
+    import json
+
+    from semtools_spark import fs as hfs
+    from semtools_spark.pipeline import CheckpointManifest
+
+    root = str(tmp_path / "mlag")
+    m = CheckpointManifest(spark, root, auto_compact=False)
+    for i in range(5):
+        m.commit({"stage": "s", "fingerprint": f"fp{i}", "i": i})
+    assert m.compact() == 5
+
+    # a second driver's record lands with a stem BELOW the segment stem
+    # (lagging clock): written directly, bypassing this process's cache
+    lag = {"stage": "s", "fingerprint": "fp_lag", "i": 99}
+    hfs.write_text(
+        spark, f"{m.path}/00000000000000000001-deadbeef.json", json.dumps(lag)
+    )
+
+    # a fresh reader sees it despite the stem ordering
+    m2 = CheckpointManifest(spark, root, auto_compact=False)
+    assert m2.committed("s", "fp_lag") == lag
+
+    # compacting again folds it instead of deleting it, and dedups the
+    # refolded segment records
+    assert m2.compact() == 2
+    m3 = CheckpointManifest(spark, root, auto_compact=False)
+    assert m3.committed("s", "fp_lag") == lag
+    assert len(m3.entries()) == 6
+    names = [nm for nm, _s, d in hfs.listdir(spark, m3.path) if not d]
+    assert len(names) == 1 and names[0].endswith(CheckpointManifest.SEGMENT_EXT)
+
+
 def test_pipeline_resume_survives_manifest_compaction(spark, pages_path, tmp_path):
     """Stage-level resume must keep working when the manifest's records
     have been folded into a segment between runs."""

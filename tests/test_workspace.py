@@ -742,6 +742,105 @@ def test_generation_commit_crash_swept_at_every_io_boundary(spark, tmp_path, mon
     assert not mixes, f"inconsistent snapshots at crash points: {mixes}"
 
 
+def test_delete_all_keys_crash_sweep_never_bricks_table(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (medium): a delete_keys that empties EVERY bucket
+    publishes an empty-gens pointer and then removes the table root; a
+    crash between the two used to brick the table (every _read_snapshot
+    raises, the idempotent re-run raises the same way, and no sweep
+    repaired it). Kill the delete at every IO boundary in turn: after
+    each kill the table must read as exactly the old snapshot OR be
+    treated as empty/gone — never raise — and an idempotent re-run must
+    converge to table-removed."""
+    import os
+    import shutil
+
+    from semtools_spark import fs as hfs
+
+    t = str(tmp_path / "delete_all_t")
+    rows = [(i, f"v-{i}") for i in range(24)]
+    keys = spark.createDataFrame([(i,) for i in range(24)], "doc long")
+
+    def build():
+        shutil.rmtree(t, ignore_errors=True)
+        W.merge_upsert(
+            spark,
+            t,
+            spark.createDataFrame(rows, "doc long, payload string"),
+            ("doc",),
+            num_buckets=4,
+        )
+
+    build()
+    pristine = str(tmp_path / "delete_all_pristine")
+    shutil.copytree(t, pristine)
+    old_rows = set(rows)
+
+    real = {"rename": hfs.rename, "write_text": hfs.write_text, "delete": hfs.delete}
+    ops = {"n": 0, "budget": None}
+
+    def wrap(name):
+        fn = real[name]
+
+        def _w(spark_, *a, **kw):
+            if ops["budget"] is not None and ops["n"] >= ops["budget"]:
+                raise RuntimeError("injected crash")
+            ops["n"] += 1
+            return fn(spark_, *a, **kw)
+
+        return _w
+
+    for name in real:
+        monkeypatch.setattr(hfs, name, wrap(name))
+
+    # dry run: count the IO boundaries of one full delete-everything
+    assert W.delete_keys(spark, t, keys, ("doc",), num_buckets=4) == 24
+    assert not os.path.exists(t)
+    total_ops = ops["n"]
+    assert total_ops > 4, total_ops
+
+    def read_state():
+        """old snapshot, or 'gone' (missing root / swept-empty) — a
+        raise from a plain read is exactly the brick this test pins."""
+        if not os.path.exists(t):
+            return "gone"
+        ptr = W._gen_pointer(spark, t)
+        if ptr is not None and not ptr[2]:
+            # empty-gens pointer on disk: the committed state is the
+            # empty table; the sweep must finish the removal
+            W._gen_sweep(spark, t)
+            assert not os.path.exists(t), "sweep left an empty-gens pointer"
+            return "gone"
+        return {
+            tuple(r)
+            for r in W._read_snapshot(spark, t).drop(W.BUCKET_COL).collect()
+        }
+
+    bad = []
+    for k in range(total_ops):
+        shutil.rmtree(t, ignore_errors=True)
+        shutil.copytree(pristine, t)
+        ops["n"], ops["budget"] = 0, k
+        try:
+            W.delete_keys(spark, t, keys, ("doc",), num_buckets=4)
+        except RuntimeError:
+            pass
+        ops["budget"] = None
+        try:
+            got = read_state()
+        except IOError as e:
+            bad.append((k, f"bricked: {e}"))
+            continue
+        if got not in (old_rows, "gone"):
+            bad.append((k, sorted(got)[:4]))
+            continue
+        # recovery: the idempotent re-run converges to table-removed
+        ops["n"] = 0
+        n = W.delete_keys(spark, t, keys, ("doc",), num_buckets=4)
+        assert n in (0, 24), (k, n)
+        assert not os.path.exists(t), f"crash point {k}: re-run left the table"
+    assert not bad, f"delete-all crash points with bad outcomes: {bad}"
+
+
 def test_stale_lease_reclaim_is_atomic_tombstone(spark, tmp_path, docs, monkeypatch):
     """ADVICE r5 (medium): reclaiming a stale lease renames it to a
     tombstone — of N racers exactly one rename succeeds; a loser raises
