@@ -23,11 +23,22 @@ Scope (documented, not silent):
   arrays of one filter) or unfiltered streams; string literals with all
   escape forms, hex strings; text operators ``Tj``, ``'``, ``"``,
   ``TJ`` (with kerning-gap word splits), line breaks from ``Td``,
-  ``TD``, ``T*``, ``Tm``; bytes decoded as PDFDocEncoding ≈ latin-1.
+  ``TD``, ``T*``, ``Tm``; **CID/Type0 fonts via their ``/ToUnicode``
+  CMap** (``bfchar``/``bfrange`` incl. array destinations, codespace
+  ranges with mixed code widths, UTF-16BE destinations incl. surrogate
+  pairs — the layout every modern typesetter (LaTeX/Word) emits, where
+  show-strings are glyph ids, not latin-1), with fonts tracked through
+  ``Tf`` and page ``/Resources`` (inherited down the page tree); simple
+  fonts with a ``/ToUnicode`` use it too; fonts without one fall back to
+  PDFDocEncoding ≈ latin-1 — except Type0, whose raw CIDs are
+  meaningless as bytes and are DROPPED rather than emitted as mojibake
+  (a corpus-quality choice: absent text is recoverable garbage, wrong
+  text poisons dedup/embedding downstream).
 * **not handled** (best-effort partial or empty result, never a raise) —
-  CID/Type0 fonts needing ``/ToUnicode`` CMap mapping, encryption,
-  LZW/DCT/JBIG2 filters. A production deployment swaps in a real parser
-  behind the same slot; the Spark-side contract is identical.
+  encryption, LZW/DCT/JBIG2 filters, glyph mapping through the font
+  program itself (a Type0 font with NO /ToUnicode). A production
+  deployment swaps in a real parser behind the same slot; the
+  Spark-side contract is identical.
 
 Pages join with "\\n\\n" — the reference's page-concat separator
 (src/parse/client.rs:87-88,104-105), same as every other extractor here.
@@ -281,9 +292,185 @@ def _decode_stream(sdict, raw: bytes) -> bytes | None:
     return out
 
 
-def _page_streams(objects) -> list[bytes]:
-    """Decoded content streams in page order (catalog-tree walk; file
-    order as the repair fallback)."""
+class _Font:
+    """Decoding state for one page font: how to turn a show-string's
+    bytes into text. ``to_unicode`` maps integer character codes to
+    strings (built from the /ToUnicode CMap); ``codespace`` is a list of
+    ``(byte_len, lo, hi)`` ranges driving variable-width code stepping
+    (Identity-H is the uniform 2-byte case)."""
+
+    __slots__ = ("type0", "to_unicode", "codespace")
+
+    def __init__(self, type0: bool, to_unicode, codespace):
+        self.type0 = type0
+        self.to_unicode = to_unicode
+        self.codespace = codespace or ([(2, 0x0000, 0xFFFF)] if type0 else [(1, 0x00, 0xFF)])
+
+    def decode(self, b: bytes) -> str:
+        if self.to_unicode is None:
+            # no CMap: simple fonts read as PDFDocEncoding ≈ latin-1;
+            # Type0 CIDs are glyph ids — emitting them as bytes is
+            # mojibake, so they are dropped (see module docstring)
+            return "" if self.type0 else b.decode("latin-1")
+        out: list[str] = []
+        i, n = 0, len(b)
+        widths = sorted({w for w, _lo, _hi in self.codespace})
+        default_w = widths[0] if widths else (2 if self.type0 else 1)
+        while i < n:
+            step = None
+            for w in widths:
+                if i + w > n:
+                    continue
+                code = int.from_bytes(b[i : i + w], "big")
+                if any(
+                    w == cw and lo <= code <= hi for cw, lo, hi in self.codespace
+                ):
+                    step = w
+                    break
+            if step is None:
+                step = min(default_w, n - i)
+                code = int.from_bytes(b[i : i + step], "big")
+            mapped = self.to_unicode.get((step, code))
+            if mapped is not None:
+                out.append(mapped)
+            elif not self.type0:
+                out.append(bytes([code]).decode("latin-1") if step == 1 else "")
+            i += step
+        return "".join(out)
+
+
+_LATIN1_FONT = _Font(False, None, None)
+
+
+def _utf16be(b: bytes) -> str:
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("utf-16-be", "ignore")
+
+
+def _parse_tounicode_cmap(dec: bytes):
+    """Parse a /ToUnicode CMap stream → (``{(code_width, code): str}``,
+    ``[(byte_len, lo, hi)]`` codespace ranges). The CMap language is
+    PostScript-shaped, but the three sections that matter —
+    ``codespacerange``, ``bfchar``, ``bfrange`` — are just runs of hex
+    strings/arrays between begin/end keywords, so the object tokenizer
+    above parses every operand (ISO 32000-1 §9.10.3)."""
+    to_uni: dict[tuple[int, int], str] = {}
+    codespace: list[tuple[int, int, int]] = []
+    i, n = 0, len(dec)
+    operands: list = []
+    mode = None
+    while i < n:
+        i = _skip_ws(dec, i)
+        if i >= n:
+            break
+        c = dec[i : i + 1]
+        if c in b"(<[/" or c in b"+-." or c.isdigit():
+            try:
+                v, j = _parse_value(dec, i)
+            except (ValueError, IndexError, AssertionError):
+                i += 1
+                continue
+            # remember the hex width: <00> and <0000> parse to the same
+            # bytes value, but the CODE they denote differs
+            operands.append(v)
+            i = j
+            continue
+        j = i
+        while j < n and dec[j : j + 1] not in _WS and dec[j : j + 1] not in _DELIM:
+            j += 1
+        op = dec[i:j]
+        i = j if j > i else i + 1
+        if op in (b"begincodespacerange", b"beginbfchar", b"beginbfrange"):
+            mode = op[5:]
+            operands.clear()
+        elif op == b"endcodespacerange" and mode == b"codespacerange":
+            for k in range(0, len(operands) - 1, 2):
+                lo, hi = operands[k], operands[k + 1]
+                if isinstance(lo, bytes) and isinstance(hi, bytes) and lo:
+                    codespace.append(
+                        (
+                            len(lo),
+                            int.from_bytes(lo, "big"),
+                            int.from_bytes(hi, "big"),
+                        )
+                    )
+            mode = None
+            operands.clear()
+        elif op == b"endbfchar" and mode == b"bfchar":
+            for k in range(0, len(operands) - 1, 2):
+                src, dst = operands[k], operands[k + 1]
+                if isinstance(src, bytes) and isinstance(dst, bytes) and src:
+                    to_uni[(len(src), int.from_bytes(src, "big"))] = _utf16be(dst)
+            mode = None
+            operands.clear()
+        elif op == b"endbfrange" and mode == b"bfrange":
+            for k in range(0, len(operands) - 2, 3):
+                lo, hi, dst = operands[k], operands[k + 1], operands[k + 2]
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes) and lo):
+                    continue
+                w = len(lo)
+                lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                if hi_i - lo_i > 0x10000:  # malformed: cap the expansion
+                    hi_i = lo_i + 0x10000
+                if isinstance(dst, list):
+                    for off, d in enumerate(dst):
+                        if isinstance(d, bytes) and lo_i + off <= hi_i:
+                            to_uni[(w, lo_i + off)] = _utf16be(d)
+                elif isinstance(dst, bytes) and dst:
+                    # spec: increment the LAST code unit of the base
+                    base = int.from_bytes(dst, "big")
+                    for off in range(hi_i - lo_i + 1):
+                        to_uni[(w, lo_i + off)] = _utf16be(
+                            (base + off).to_bytes(len(dst), "big")
+                        )
+            mode = None
+            operands.clear()
+        elif op == b"endcmap":
+            break
+        else:
+            if mode is None:
+                operands.clear()
+    return to_uni, codespace
+
+
+def _fonts_of(resources, objects) -> dict[str, _Font]:
+    """Resolve a page's /Resources → /Font dict into decoding state, one
+    _Font per resource name (the name ``Tf`` selects)."""
+    fonts: dict[str, _Font] = {}
+    res = _resolve(resources, objects)
+    if not isinstance(res, dict):
+        return fonts
+    fdict = _resolve(res.get("Font"), objects)
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, fref in fdict.items():
+        fval = _resolve(fref, objects)
+        if not isinstance(fval, dict):
+            continue
+        type0 = fval.get("Subtype") == "Type0"
+        to_uni = codespace = None
+        tu = fval.get("ToUnicode")
+        num = tu.num if isinstance(tu, _Ref) else None
+        if num is not None and num in objects:
+            sdict, raw = objects[num]
+            if raw is not None:
+                dec = _decode_stream(sdict, raw)
+                if dec is not None:
+                    try:
+                        to_uni, codespace = _parse_tounicode_cmap(dec)
+                    except (ValueError, IndexError, AssertionError):
+                        to_uni = codespace = None
+        fonts[name] = _Font(type0, to_uni, codespace)
+    return fonts
+
+
+def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font]]]":
+    """``(decoded content, fonts)`` per page in page order (catalog-tree
+    walk; file order as the repair fallback). ``/Resources`` is an
+    inheritable page attribute (ISO 32000-1 §7.7.3.4), so the walk
+    threads the nearest ancestor's down to leaves that lack their own."""
 
     def content_of(page_dict) -> list[bytes]:
         out = []
@@ -301,18 +488,19 @@ def _page_streams(objects) -> list[bytes]:
                 out.append(dec)
         return out
 
-    pages: list[dict] = []
+    pages: list[tuple[dict, object]] = []
 
-    def walk(node_ref, depth: int = 0):
+    def walk(node_ref, inherited_res, depth: int = 0):
         node = _resolve(node_ref, objects)
         if not isinstance(node, dict) or depth > 64:
             return
+        res = node.get("Resources", inherited_res)
         t = node.get("Type")
         if t == "Page":
-            pages.append(node)
+            pages.append((node, res))
         elif t == "Pages" or "Kids" in node:
             for kid in _resolve(node.get("Kids"), objects) or []:
-                walk(kid, depth + 1)
+                walk(kid, res, depth + 1)
 
     root = None
     for _num, (val, _s) in sorted(objects.items()):
@@ -320,18 +508,17 @@ def _page_streams(objects) -> list[bytes]:
             root = val
             break
     if root is not None:
-        walk(root.get("Pages"))
+        walk(root.get("Pages"), None)
     if not pages:  # repair fallback: every /Type /Page in file order
         pages = [
-            val
+            (val, val.get("Resources"))
             for _num, (val, _s) in sorted(objects.items())
             if isinstance(val, dict) and val.get("Type") == "Page"
         ]
-    streams: list[bytes] = []
-    for p in pages:
-        page_content = b"\n".join(content_of(p))
-        streams.append(page_content)
-    return streams
+    out: list[tuple[bytes, dict[str, _Font]]] = []
+    for p, res in pages:
+        out.append((b"\n".join(content_of(p)), _fonts_of(res, objects)))
+    return out
 
 
 #: a TJ kerning adjustment more negative than this (thousandths of an em)
@@ -339,11 +526,14 @@ def _page_streams(objects) -> list[bytes]:
 TJ_WORD_GAP = -180
 
 
-def _text_from_content(stream: bytes) -> str:
+def _text_from_content(stream: bytes, fonts: "dict[str, _Font] | None" = None) -> str:
     """Walk the content stream's operand/operator tokens and assemble the
     shown text: ``Tj``/``'``/``"`` append their string, ``TJ`` appends
-    its strings with kerning-gap word splits, and ``Td``/``TD``/``T*``/
-    ``Tm``/``'``/``"`` start a new line."""
+    its strings with kerning-gap word splits, ``Td``/``TD``/``T*``/
+    ``Tm``/``'``/``"`` start a new line, and ``Tf`` switches the active
+    font (whose /ToUnicode CMap decodes subsequent show-strings)."""
+    fonts = fonts or {}
+    font = [_LATIN1_FONT]  # list-of-one: writable from the closures
     lines: list[str] = []
     cur: list[str] = []
     operands: list = []
@@ -356,7 +546,9 @@ def _text_from_content(stream: bytes) -> str:
             cur.clear()
 
     def show(b: bytes):
-        cur.append(b.decode("latin-1"))
+        t = font[0].decode(b)
+        if t:  # a Type0 show with no /ToUnicode decodes to nothing —
+            cur.append(t)  # don't let it fabricate blank lines
 
     while i < n:
         i = _skip_ws(stream, i)
@@ -383,14 +575,16 @@ def _text_from_content(stream: bytes) -> str:
             for el in operands[-1]:
                 if isinstance(el, bytes):
                     show(el)
-                elif isinstance(el, (int, float)) and el < TJ_WORD_GAP:
-                    cur.append(" ")
+                elif isinstance(el, (int, float)) and el < TJ_WORD_GAP and cur:
+                    cur.append(" ")  # a word gap only splits shown text
         elif op in (b"'", b'"'):
             newline()
             if operands and isinstance(operands[-1], bytes):
                 show(operands[-1])
         elif op in (b"Td", b"TD", b"T*", b"Tm", b"ET"):
             newline()
+        elif op == b"Tf" and len(operands) >= 2 and isinstance(operands[-2], str):
+            font[0] = fonts.get(operands[-2], _LATIN1_FONT)
         operands.clear()
     newline()
     return "\n".join(lines)
@@ -410,7 +604,9 @@ def extract_pdf_text(data: bytes) -> str:
         return ""
     try:
         objects = _scan_objects(data)
-        page_texts = [_text_from_content(s) for s in _page_streams(objects)]
+        page_texts = [
+            _text_from_content(s, fonts) for s, fonts in _page_streams(objects)
+        ]
     except Exception:
         return ""
     return "\n\n".join(t for t in page_texts if t)
@@ -418,11 +614,16 @@ def extract_pdf_text(data: bytes) -> str:
 
 def extract_any(data: bytes) -> str:
     """Format-dispatching extractor for mixed crawl corpora: PDF magic →
-    :func:`extract_pdf_text`, anything else → the real-HTML main-content
-    extractor. Still one deterministic ``bytes -> str`` function, so it
-    drops into ``parse_pages(extractor=...)`` unchanged."""
+    :func:`extract_pdf_text`, ZIP containing WordprocessingML →
+    :func:`~semtools_spark.operators.docx_extract.extract_docx_text`,
+    anything else → the real-HTML main-content extractor. Still one
+    deterministic ``bytes -> str`` function, so it drops into
+    ``parse_pages(extractor=...)`` unchanged."""
+    from semtools_spark.operators.docx_extract import extract_docx_text, is_docx
     from semtools_spark.operators.html_extract import extract_main_text
 
     if is_pdf(data):
         return extract_pdf_text(data)
+    if is_docx(data):
+        return extract_docx_text(data)
     return extract_main_text(data)
