@@ -190,9 +190,15 @@ def _bucket_ids(spark: SparkSession, table_path: str) -> list[int]:
 # swept later. The pointer file itself appears atomically (written to a
 # tmp name, renamed into place), so no reader ever parses a torn pointer.
 # The one residual race — a reader that resolved the OLD pointer and is
-# still scanning when post-commit GC deletes those directories — is the
-# same window today's rename-and-delete swap has, and is what snapshot
-# retention/expiration would tune on a real catalog.
+# still scanning when post-commit GC deletes those directories — is
+# closed by the OPT-IN retention property (set_snapshot_retention):
+# with retain=N the last N replaced snapshots stay on disk and readable
+# (read_snapshot(seq=...) time-travels over them), pruned by
+# expire_snapshots / the next commit, bounded to expired-touched
+# buckets. The default stays retain=0 (immediate GC) because retention
+# trades away raw-root readability: spark.read.parquet(root) on a
+# retaining table sees one row-copy per retained generation — pointer
+# reads (every reader in this module) are unaffected.
 
 _POINTER_PREFIX = "_current."
 
@@ -202,33 +208,55 @@ _POINTER_PREFIX = "_current."
 _TEST_MID_COMMIT_HOOK = None
 
 
-def _gen_pointer(
-    spark: SparkSession, table_path: str
-) -> "tuple[int, str, dict[str, str]] | None":
-    """(seq, part_col, {partition_value: gen_dirname}) from the
-    highest-sequence ``_current.<seq>.json``, or None (legacy layout)."""
-    import json
-
-    best = -1
+def _pointer_seqs(spark: SparkSession, table_path: str) -> list[int]:
+    """All pointer sequence numbers on disk, ascending (several coexist
+    when the table retains snapshots; exactly one otherwise)."""
     if not hfs.exists(spark, table_path):
-        return None
+        return []
+    seqs: list[int] = []
     for name, _size, is_dir in hfs.listdir(spark, table_path):
         if is_dir or not (
             name.startswith(_POINTER_PREFIX) and name.endswith(".json")
         ):
             continue
         try:
-            seq = int(name[len(_POINTER_PREFIX):-len(".json")])
+            seqs.append(int(name[len(_POINTER_PREFIX):-len(".json")]))
         except ValueError:
             continue
-        best = max(best, seq)
-    if best < 0:
+    return sorted(seqs)
+
+
+def _read_pointer(spark: SparkSession, table_path: str, seq: int) -> "dict | None":
+    import json
+
+    text = hfs.read_text(spark, f"{table_path}/{_POINTER_PREFIX}{seq}.json")
+    return None if text is None else json.loads(text)
+
+
+def _gen_pointer(
+    spark: SparkSession, table_path: str
+) -> "tuple[int, str, dict[str, str]] | None":
+    """(seq, part_col, {partition_value: gen_dirname}) from the
+    highest-sequence ``_current.<seq>.json``, or None (legacy layout)."""
+    seqs = _pointer_seqs(spark, table_path)
+    if not seqs:
         return None
-    text = hfs.read_text(spark, f"{table_path}/{_POINTER_PREFIX}{best}.json")
-    if text is None:  # swept between listing and read: retry once
+    cur = _read_pointer(spark, table_path, seqs[-1])
+    if cur is None:  # swept between listing and read: retry once
         return _gen_pointer(spark, table_path)
-    cur = json.loads(text)
-    return best, cur["part_col"], dict(cur["gens"])
+    return seqs[-1], cur["part_col"], dict(cur["gens"])
+
+
+def _gen_retain(spark: SparkSession, table_path: str) -> int:
+    """The table's snapshot-retention property (how many PREVIOUS
+    snapshots stay readable after a commit; 0 = immediate GC, the
+    default). Carried in the pointer file so it is sticky per table —
+    the Iceberg-table-property analog."""
+    seqs = _pointer_seqs(spark, table_path)
+    if not seqs:
+        return 0
+    cur = _read_pointer(spark, table_path, seqs[-1])
+    return int(cur.get("retain", 0)) if cur else 0
 
 
 def _write_gen_pointer(
@@ -237,6 +265,7 @@ def _write_gen_pointer(
     seq: int,
     part_col: str,
     gens: "dict[str, str]",
+    retain: int = 0,
 ) -> None:
     """Atomically publish pointer ``seq``: write to a tmp name, rename
     into ``_current.<seq>.json`` — the rename is the commit point, so the
@@ -244,14 +273,99 @@ def _write_gen_pointer(
     sequence is unique; a failed rename means the invariant broke."""
     import json
 
+    doc = {"part_col": part_col, "gens": gens}
+    if retain:
+        doc["retain"] = int(retain)
     tmp = f"{table_path}/.__ptr_tmp_{uuid.uuid4().hex}"
-    hfs.write_text(
-        spark, tmp, json.dumps({"part_col": part_col, "gens": gens})
-    )
+    hfs.write_text(spark, tmp, json.dumps(doc))
     dst = f"{table_path}/{_POINTER_PREFIX}{seq}.json"
     if not hfs.rename(spark, tmp, dst):
         hfs.delete(spark, tmp)
         raise IOError(f"generation commit: could not publish {dst}")
+
+
+def set_snapshot_retention(
+    spark: SparkSession, table_path: str, retain: int
+) -> None:
+    """Set how many PREVIOUS snapshots stay readable (and on disk) after
+    each commit — the knob long-running readers need so post-commit GC
+    cannot delete the generation they are mid-scan over. A metadata-only
+    commit: publishes pointer ``seq+1`` with the same generations and the
+    new ``retain`` value. With ``retain > 0`` the table must be read
+    through the pointer (:func:`read_snapshot` / every reader in this
+    module) — a RAW ``spark.read.parquet(root)`` would see one row-copy
+    per retained generation; that trade is why 0 stays the default.
+    Dropping retention back to 0 takes effect at the next mutation (or an
+    explicit :func:`expire_snapshots`)."""
+    if retain < 0:
+        raise ValueError(f"retain must be >= 0, got {retain}")
+    ptr = _gen_pointer(spark, table_path)
+    if ptr is None:
+        raise IOError(
+            f"{table_path} has no generation pointer (legacy layout) — "
+            "run one bucketed mutation first, then set retention"
+        )
+    seq, part_col, gens = ptr
+    _write_gen_pointer(spark, table_path, seq + 1, part_col, gens, retain=retain)
+    if retain == 0:
+        expire_snapshots(spark, table_path, keep_last=1)
+
+
+def expire_snapshots(
+    spark: SparkSession, table_path: str, keep_last: "int | None" = None
+) -> int:
+    """Remove snapshots older than the newest ``keep_last`` (default:
+    the table's ``retain`` property + 1): delete their pointer files and
+    every generation directory no retained pointer references. Bounded
+    work — only buckets the EXPIRED pointers mention are listed, so the
+    cost is O(buckets touched across expired snapshots), never a full
+    table walk. Returns the number of generation directories removed.
+    The Iceberg ``expireSnapshots`` analog."""
+    seqs = _pointer_seqs(spark, table_path)
+    if not seqs:
+        return 0
+    if keep_last is None:
+        keep_last = _gen_retain(spark, table_path) + 1
+    keep_last = max(1, keep_last)
+    if len(seqs) <= keep_last:
+        return 0
+    expired, retained = seqs[:-keep_last], seqs[-keep_last:]
+    part_col = None
+    keep: dict[str, set] = {}
+    for s in retained:
+        doc = _read_pointer(spark, table_path, s)
+        if doc is None:
+            continue
+        part_col = doc["part_col"]
+        for val, gen in doc["gens"].items():
+            keep.setdefault(val, set()).add(gen)
+    check: set[str] = set()
+    for s in expired:
+        doc = _read_pointer(spark, table_path, s)
+        if doc is not None:
+            part_col = part_col or doc["part_col"]
+            check.update(
+                val
+                for val, gen in doc["gens"].items()
+                if gen not in keep.get(val, ())
+            )
+    removed = 0
+    for val in sorted(check):
+        part_dir = f"{table_path}/{part_col}={val}"
+        if not hfs.exists(spark, part_dir):
+            continue
+        want = keep.get(val)
+        if not want:
+            hfs.delete(spark, part_dir)
+            removed += 1
+            continue
+        for sub, _s, sub_dir in hfs.listdir(spark, part_dir):
+            if sub_dir and sub.startswith("g_") and sub not in want:
+                hfs.delete(spark, f"{part_dir}/{sub}")
+                removed += 1
+    for s in expired:
+        hfs.delete(spark, f"{table_path}/{_POINTER_PREFIX}{s}.json")
+    return removed
 
 
 _INTENT_PREFIX = ".__intent_"
@@ -295,9 +409,20 @@ def _gen_sweep(spark: SparkSession, table_path: str) -> None:
         # data, so the root is removable; finishing the delete here
         # restores convergence (otherwise _read_snapshot raises on
         # every read, the idempotent re-run hits the same raise, and
-        # no mutation path ever repairs it).
+        # no mutation path ever repairs it). Delete-everything is
+        # terminal even under retention — DROP is not snapshotted.
         hfs.delete(spark, table_path)
         return
+    seqs = _pointer_seqs(spark, table_path)
+    retained_seqs = set(seqs[-(_gen_retain(spark, table_path) + 1):])
+    # union of every retained snapshot's generation per bucket — the
+    # set crash GC must never touch
+    keep: dict[str, set] = {}
+    for s in sorted(retained_seqs):
+        doc = _read_pointer(spark, table_path, s)
+        if doc is not None:
+            for val, gen in doc["gens"].items():
+                keep.setdefault(val, set()).add(gen)
     intents: list[str] = []
     for name, _size, is_dir in hfs.listdir(spark, table_path):
         full = f"{table_path}/{name}"
@@ -309,7 +434,7 @@ def _gen_sweep(spark: SparkSession, table_path: str) -> None:
             intents.append(full)
         elif name.startswith(_POINTER_PREFIX) and name.endswith(".json"):
             try:
-                if int(name[len(_POINTER_PREFIX):-len(".json")]) < seq:
+                if int(name[len(_POINTER_PREFIX):-len(".json")]) not in retained_seqs:
                     hfs.delete(spark, full)
             except ValueError:
                 pass
@@ -325,14 +450,37 @@ def _gen_sweep(spark: SparkSession, table_path: str) -> None:
                 if not hfs.exists(spark, part_dir):
                     continue
                 part_val = frag.split("=", 1)[1]
-                want = gens.get(part_val)
-                if want is None:
+                want = keep.get(part_val)
+                if not want:
                     hfs.delete(spark, part_dir)  # bucket no longer referenced
                     continue
                 for sub, _s, sub_dir in hfs.listdir(spark, part_dir):
-                    if sub_dir and sub.startswith("g_") and sub != want:
+                    if sub_dir and sub.startswith("g_") and sub not in want:
                         hfs.delete(spark, f"{part_dir}/{sub}")
         hfs.delete(spark, intent_path)
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, seq: "int | None" = None
+) -> DataFrame:
+    """Snapshot read at a specific sequence (time travel over retained
+    snapshots; see :func:`set_snapshot_retention`), or the current one
+    when ``seq`` is None."""
+    if seq is None:
+        return _read_snapshot(spark, table_path)
+    doc = _read_pointer(spark, table_path, seq)
+    if doc is None:
+        raise IOError(
+            f"snapshot {seq} of {table_path} does not exist (expired, or "
+            f"never committed; on disk: {_pointer_seqs(spark, table_path)})"
+        )
+    leafs = [
+        f"{table_path}/{doc['part_col']}={val}/{gen}"
+        for val, gen in sorted(doc["gens"].items())
+    ]
+    if not leafs:
+        raise IOError(f"snapshot {seq} of {table_path} references no data")
+    return spark.read.option("basePath", table_path).parquet(*leafs)
 
 
 def _read_snapshot(
@@ -489,17 +637,31 @@ def _swap_buckets(
             if _TEST_MID_COMMIT_HOOK is not None:
                 _TEST_MID_COMMIT_HOOK(k)
         hfs.delete(spark, tmp)
-        _write_gen_pointer(spark, table_path, seq + 1, part_col, new_gens)
-        # post-commit GC — immediate, so exactly one generation per bucket
-        # stays on disk between mutations (raw root reads see no dupes)
-        for k in touched:
-            frag = f"{part_col}={k}"
-            old_gen = gens.get(str(k))
-            if str(k) not in new_gens:
-                hfs.delete(spark, f"{table_path}/{frag}")
-            elif old_gen is not None and old_gen != new_gens[str(k)]:
-                hfs.delete(spark, f"{table_path}/{frag}/{old_gen}")
-        hfs.delete(spark, f"{table_path}/{_POINTER_PREFIX}{seq}.json")
+        retain = _gen_retain(spark, table_path)
+        _write_gen_pointer(
+            spark, table_path, seq + 1, part_col, new_gens, retain=retain
+        )
+        if retain == 0 or not new_gens:
+            # post-commit GC — immediate, so exactly one generation per
+            # bucket stays on disk between mutations (raw root reads see
+            # no dupes). An emptied table GCs immediately even under
+            # retention: delete-everything is terminal (DROP is not
+            # snapshotted), keeping the caller's root-removal check and
+            # the empty-gens sweep repair valid.
+            for k in touched:
+                frag = f"{part_col}={k}"
+                old_gen = gens.get(str(k))
+                if str(k) not in new_gens:
+                    hfs.delete(spark, f"{table_path}/{frag}")
+                elif old_gen is not None and old_gen != new_gens[str(k)]:
+                    hfs.delete(spark, f"{table_path}/{frag}/{old_gen}")
+            hfs.delete(spark, f"{table_path}/{_POINTER_PREFIX}{seq}.json")
+        else:
+            # retention: the replaced generations STAY — a reader that
+            # resolved pointer `seq` before this commit keeps a valid
+            # scan for `retain` more commits. Only snapshots past the
+            # window are pruned (bounded: expired-touched buckets only).
+            expire_snapshots(spark, table_path, keep_last=retain + 1)
         hfs.delete(spark, intent_path)  # GC complete: retire the intent
         return
     run = uuid.uuid4().hex
