@@ -1000,6 +1000,10 @@ class Workspace:
         if not self._foreign_lease_live():
             for p in (self.manifest_path, self.lines_path):
                 _sweep_stale_swap_dirs(spark, p)
+            # workspace-snapshot tmp files from a crashed publish
+            for name, _s, is_dir in hfs.listdir(spark, self.root):
+                if not is_dir and name.startswith(".__wsnap_tmp_"):
+                    hfs.delete(spark, f"{self.root}/{name}")
             # crash-interrupted rebucket: the intent journal survives;
             # finish the migration before anything reads with the stale
             # bucket count
@@ -1066,6 +1070,120 @@ class Workspace:
                 hfs.delete(self.spark, tmp)
                 raise IOError(f"could not commit workspace config at {cfg_path}")
             hfs.delete(self.spark, old)
+
+    # ---- workspace-level snapshot (multi-table atomicity) ----------------
+    # One mutation commits lines THEN manifest — two per-table commit
+    # points. Without anything above them, a reader between the two pairs
+    # a new lines snapshot with the old manifest (each internally
+    # consistent, jointly one mutation apart — the documented r6
+    # limitation). The workspace snapshot closes it: every mutation ends
+    # by atomically publishing ``_wsnap.<seq>.json`` naming BOTH tables'
+    # pointer sequences, and every read resolves the wsnap and reads each
+    # table AT its pinned sequence. The pinned (pre-mutation) table
+    # snapshots stay on disk because workspace tables carry
+    # ``retain >= 1`` (set once, lazily, before the first wsnap-guarded
+    # mutation) — so the pin survives the in-flight mutation and one full
+    # subsequent one, the same residual-long-scan contract as table-level
+    # retention. This is the two-table analog of what a real catalog's
+    # multi-table transactions would provide.
+    WSNAP_PREFIX = "_wsnap."
+    _WSNAP_TABLES = (("manifest", "manifest_path"), ("lines", "lines_path"))
+
+    def _wsnap_seqs(self) -> list[int]:
+        seqs: list[int] = []
+        for name, _s, is_dir in hfs.listdir(self.spark, self.root):
+            if is_dir or not (
+                name.startswith(self.WSNAP_PREFIX) and name.endswith(".json")
+            ):
+                continue
+            try:
+                seqs.append(int(name[len(self.WSNAP_PREFIX):-len(".json")]))
+            except ValueError:
+                continue
+        return sorted(seqs)
+
+    def _wsnap(self) -> "tuple[int, dict] | None":
+        import json
+
+        seqs = self._wsnap_seqs()
+        if not seqs:
+            return None
+        text = hfs.read_text(
+            self.spark, f"{self.root}/{self.WSNAP_PREFIX}{seqs[-1]}.json"
+        )
+        if text is None:  # pruned between list and read: retry once
+            return self._wsnap()
+        return seqs[-1], json.loads(text)
+
+    def _publish_wsnap(self) -> None:
+        """Atomically publish the workspace snapshot pinning every
+        table's CURRENT pointer sequence (None = table absent). Called
+        under the lease at the end of each mutation — the single commit
+        point readers pair tables by."""
+        import json
+
+        pins: dict = {}
+        for key, attr in self._WSNAP_TABLES:
+            ptr = _gen_pointer(self.spark, getattr(self, attr))
+            pins[key] = None if ptr is None else ptr[0]
+        prev = self._wsnap()
+        seq = (prev[0] if prev is not None else -1) + 1
+        tmp = f"{self.root}/.__wsnap_tmp_{uuid.uuid4().hex}"
+        hfs.write_text(self.spark, tmp, json.dumps({"tables": pins}))
+        dst = f"{self.root}/{self.WSNAP_PREFIX}{seq}.json"
+        if not hfs.rename(self.spark, tmp, dst):
+            hfs.delete(self.spark, tmp)
+            raise IOError(f"workspace snapshot: could not publish {dst}")
+        for s in self._wsnap_seqs():
+            if s < seq:
+                hfs.delete(self.spark, f"{self.root}/{self.WSNAP_PREFIX}{s}.json")
+
+    def _ensure_table_retention(self, publish: bool = True) -> None:
+        """Raise each pointer table to ``retain >= 1`` so the snapshots a
+        wsnap pins outlive the mutation replacing them. Runs BEFORE the
+        mutation's first table commit; a one-time metadata commit per
+        table, no-op afterwards. User-raised retention is respected.
+        Also re-run at mutation END (before the wsnap publish) so tables
+        CREATED by this mutation get their bump immediately — otherwise
+        the next mutation's bump would be an extra pointer commit sitting
+        between the crash-injection points the durability tests pin.
+
+        When a bump happened, the wsnap is immediately re-published over
+        the bumped sequences: the bump itself consumes one slot of the
+        retention window (it is a pointer commit, albeit over the same
+        generations), so a wsnap still pinning the PRE-bump sequence
+        would be expired by the very next data commit. End-of-mutation
+        callers pass ``publish=False`` — their own ``_publish_wsnap``
+        immediately follows and pins the bumped sequences anyway."""
+        bumped = False
+        for _key, attr in self._WSNAP_TABLES:
+            path = getattr(self, attr)
+            if (
+                hfs.exists(self.spark, path)
+                and _gen_pointer(self.spark, path) is not None
+                and _gen_retain(self.spark, path) == 0
+            ):
+                set_snapshot_retention(self.spark, path, 1)
+                bumped = True
+        if bumped and publish:
+            self._publish_wsnap()
+
+    def _snapshot_table(self, path: str, key: str) -> DataFrame | None:
+        """Wsnap-pinned read of one table (bucket column kept). Falls
+        back to the table's own current pointer when no wsnap exists
+        (legacy workspace) or the pin has expired under a slow reader."""
+        snap = self._wsnap()
+        if snap is not None:
+            seq = snap[1].get("tables", {}).get(key)
+            if seq is None:
+                return None
+            try:
+                return read_snapshot(self.spark, path, seq=seq)
+            except IOError:
+                pass
+        if not hfs.exists(self.spark, path):
+            return None
+        return _read_snapshot(self.spark, path)
 
     # ---- single-writer lease --------------------------------------------
     LEASE_FILE = "_writer.lock"
@@ -1320,6 +1438,11 @@ class Workspace:
             self._heartbeat()  # one full-table rewrite per table: renew
         self.n_buckets = n_buckets
         self._save_config()
+        # the rewrite reset each table's pointer history (seq 0, no
+        # retention): re-raise retention and re-pin the wsnap to the new
+        # sequences so reads don't fall back mid-window
+        self._ensure_table_retention(publish=False)
+        self._publish_wsnap()
 
     @property
     def manifest_path(self) -> str:
@@ -1329,19 +1452,19 @@ class Workspace:
     def lines_path(self) -> str:
         return f"{self.root}/line_embeddings.parquet"
 
-    def _read_table(self, path: str) -> DataFrame | None:
-        if not hfs.exists(self.spark, path):
-            return None
-        # the bucket partition column is physical layout, not data;
-        # _read_snapshot resolves the generation pointer so this read is
-        # one consistent snapshot even while a writer is mid-commit
-        return _read_snapshot(self.spark, path).drop(BUCKET_COL)
+    def _read_table(self, path: str, key: str) -> DataFrame | None:
+        # the bucket partition column is physical layout, not data; the
+        # wsnap-pinned read pairs this table's snapshot with the OTHER
+        # table's from the same mutation, so cross-table reads are one
+        # consistent workspace state even while a writer is mid-mutation
+        df = self._snapshot_table(path, key)
+        return None if df is None else df.drop(BUCKET_COL)
 
     def manifest(self) -> DataFrame | None:
-        return self._read_table(self.manifest_path)
+        return self._read_table(self.manifest_path, "manifest")
 
     def lines(self) -> DataFrame | None:
-        return self._read_table(self.lines_path)
+        return self._read_table(self.lines_path, "lines")
 
     # ---- W1-W4: incremental sync --------------------------------------
     def sync(
@@ -1355,6 +1478,7 @@ class Workspace:
         lines, MERGE both tables. Returns state counts (the reference's
         workspace-mode search driver, search/mod.rs:146-216)."""
         with self._lease():
+            self._ensure_table_retention()
             meta = docs.select(
                 F.col(id_col).alias("doc"),
                 F.length(text_col).cast("long").alias("size_bytes"),
@@ -1409,6 +1533,8 @@ class Workspace:
                 if index_maintain:
                     self._heartbeat()
                     self._ann_index_apply_delta(todo, old_centroids)
+                self._ensure_table_retention(publish=False)
+                self._publish_wsnap()
             return counts
 
     # ---- persistent ANN index (reference persists HNSW and reuses it
@@ -1418,12 +1544,27 @@ class Workspace:
         return f"{self.root}/ann_index"
 
     def _lines_fingerprint(self) -> str:
+        """Identity of the lines table CONTENT the index was built from:
+        the per-leaf listings of the current pointer's generation dirs
+        (immutable once written). Deliberately NOT a whole-root listing —
+        with snapshot retention, pruning an old generation or a
+        metadata-only pointer bump would change a root listing without
+        changing the data, spuriously marking the index stale."""
         import hashlib
         import json
 
-        return hashlib.md5(
-            json.dumps(hfs.listing(self.spark, self.lines_path)).encode()
-        ).hexdigest()
+        ptr = _gen_pointer(self.spark, self.lines_path)
+        if ptr is None:
+            payload = hfs.listing(self.spark, self.lines_path)
+        else:
+            _seq, part_col, gens = ptr
+            payload = {
+                f"{part_col}={v}/{g}": hfs.listing(
+                    self.spark, f"{self.lines_path}/{part_col}={v}/{g}"
+                )
+                for v, g in sorted(gens.items())
+            }
+        return hashlib.md5(json.dumps(payload).encode()).hexdigest()
 
     def build_ann_index(
         self,
@@ -1664,11 +1805,11 @@ class Workspace:
                         _bucket_expr("doc", self.n_buckets).alias(BUCKET_COL)
                     ).distinct().collect()
                 ]
-                stored = (
-                    _read_snapshot(self.spark, self.lines_path)
-                    .filter(F.col(BUCKET_COL).isin(buckets))
-                    .drop(BUCKET_COL)
-                )
+                snap = self._snapshot_table(self.lines_path, "lines")
+                if snap is not None:
+                    stored = snap.filter(
+                        F.col(BUCKET_COL).isin(buckets)
+                    ).drop(BUCKET_COL)
             stored = stored.filter(F.col("doc").isin(doc_subset))
         q = query.lower() if ignore_case else query
         qvec = HashEmbedder(dim=self.dim, seed=self.seed).embed_one(q)
@@ -1747,6 +1888,7 @@ class Workspace:
                 [(d,) for d in doc_ids], f"doc {self._doc_key_type()}"
             )
         with self._lease():
+            self._ensure_table_retention()
             index_maintain = self.ann_index_fresh()
             old_centroids: list[int] = []
             if index_maintain:
@@ -1763,6 +1905,8 @@ class Workspace:
             out = {"docs": n_docs, "lines": n_lines}
             if index_maintain:
                 self._ann_index_apply_delta(keys, old_centroids)
+            self._ensure_table_retention(publish=False)
+            self._publish_wsnap()
             return out
 
     def prune(self, existing_docs: DataFrame, id_col: str = "doc_id") -> dict[str, int]:
@@ -1777,6 +1921,7 @@ class Workspace:
         if man is None:
             return {"docs": 0, "lines": 0}
         with self._lease():
+            self._ensure_table_retention()
             stale = man.join(
                 existing_docs.select(F.col(id_col).alias("doc")), "doc", "left_anti"
             ).select("doc").localCheckpoint()
@@ -1794,6 +1939,8 @@ class Workspace:
             out = {"docs": n_docs, "lines": n_lines}
             if index_maintain:
                 self._ann_index_apply_delta(stale, old_centroids)
+            self._ensure_table_retention(publish=False)
+            self._publish_wsnap()
             return out
 
     # ---- W9: stats -------------------------------------------------------

@@ -944,6 +944,115 @@ def test_expire_snapshots_bounded_and_delete_all_stays_terminal(spark, tmp_path)
     assert not os.path.exists(t)
 
 
+def test_workspace_snapshot_pins_lines_manifest_pairing(spark, tmp_path, docs, monkeypatch):
+    """VERDICT r6 missing #4: one sync commits lines THEN manifest — a
+    reader between the two used to pair the NEW lines snapshot with the
+    OLD manifest (each internally consistent, jointly one mutation
+    apart). The workspace-level snapshot (_wsnap pointer naming both
+    tables' generations, published once at mutation end) closes it:
+    a fresh reader between the two table commits sees the complete OLD
+    pairing; a crash there leaves readers on the old pairing and the
+    idempotent re-run converges."""
+    root = str(tmp_path / "ws_pair")
+    ws = W.Workspace(spark, root, dim=16)
+    ws.sync(docs, mtime_col="mtime")
+
+    def lines_set(w):
+        df = w.lines()
+        return (
+            frozenset((r.doc, r.line_no, r.line) for r in df.collect())
+            if df is not None
+            else None
+        )
+
+    def man_set(w):
+        df = w.manifest()
+        return (
+            frozenset((r.doc, r.size_bytes, r.mtime) for r in df.collect())
+            if df is not None
+            else None
+        )
+
+    old_pair = (lines_set(ws), man_set(ws))
+    stale_lines = ws.lines()  # resolved pre-mutation: must stay scannable
+
+    docs_v2 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma\nsecond line here", 100),
+            (2, "delta epsilon zeta REWRITTEN", 200),
+            (3, "eta theta iota kappa", 100),
+        ],
+        "doc_id long, text string, mtime long",
+    )
+
+    observed = []
+    real_merge = W.merge_upsert
+
+    def spying_merge(spark_, table_path, *a, **kw):
+        out = real_merge(spark_, table_path, *a, **kw)
+        if table_path == ws.lines_path:
+            # EXACTLY the window the r6 VERDICT documented: lines
+            # committed, manifest not yet. A fresh reader must see the
+            # old consistent pairing, not new-lines + old-manifest.
+            r = W.Workspace(spark_, root)
+            observed.append((lines_set(r), man_set(r)))
+        return out
+
+    monkeypatch.setattr(W, "merge_upsert", spying_merge)
+    try:
+        ws.sync(docs_v2, mtime_col="mtime")
+    finally:
+        monkeypatch.setattr(W, "merge_upsert", real_merge)
+
+    assert observed, "the lines merge never ran"
+    for pair in observed:
+        assert pair == old_pair, "mid-mutation reader saw a mixed pairing"
+
+    # after the mutation the new pairing is visible and consistent
+    after = W.Workspace(spark, root)
+    new_lines, new_man = lines_set(after), man_set(after)
+    assert new_lines != old_pair[0] and new_man != old_pair[1]
+    assert any("REWRITTEN" in ln for _, _, ln in new_lines)
+    assert (2, 28, 200) in new_man
+
+    # the pre-mutation resolved DataFrame still scans (retention >= 1
+    # is raised automatically on workspace tables)
+    assert frozenset(
+        (r.doc, r.line_no, r.line) for r in stale_lines.collect()
+    ) == old_pair[0]
+
+    # crash BETWEEN the two commits: readers stay on the old (now v2)
+    # pairing; the idempotent re-run converges
+    docs_v3 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma\nsecond line here", 100),
+            (2, "delta epsilon zeta REWRITTEN", 200),
+            (3, "eta theta iota kappa CHANGED AGAIN", 300),
+        ],
+        "doc_id long, text string, mtime long",
+    )
+
+    def crashing_merge(spark_, table_path, *a, **kw):
+        out = real_merge(spark_, table_path, *a, **kw)
+        if table_path == ws.lines_path:
+            raise RuntimeError("injected crash between table commits")
+        return out
+
+    monkeypatch.setattr(W, "merge_upsert", crashing_merge)
+    try:
+        with pytest.raises(RuntimeError):
+            after.sync(docs_v3, mtime_col="mtime")
+    finally:
+        monkeypatch.setattr(W, "merge_upsert", real_merge)
+
+    mid = W.Workspace(spark, root)
+    assert (lines_set(mid), man_set(mid)) == (new_lines, new_man)
+    mid.sync(docs_v3, mtime_col="mtime")
+    done = W.Workspace(spark, root)
+    assert any("CHANGED AGAIN" in ln for _, _, ln in lines_set(done))
+    assert (3, 34, 300) in man_set(done)
+
+
 def test_stale_lease_reclaim_is_atomic_tombstone(spark, tmp_path, docs, monkeypatch):
     """ADVICE r5 (medium): reclaiming a stale lease renames it to a
     tombstone — of N racers exactly one rename succeeds; a loser raises
