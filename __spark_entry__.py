@@ -1075,6 +1075,10 @@ def _q_text_profile(spark, sf_dir):
         "dup_token_milli",
         "top_token_milli",
         "dup_bigram_milli",
+        # the filter_training_docs keep-predicate (default thresholds),
+        # recorded per-doc by profile() so the filter composition itself
+        # is oracle-gated (VERDICT r6 next #7)
+        "keep_default",
     )
 
 
@@ -1649,7 +1653,8 @@ def oracle_sql() -> dict[str, str]:
             f"CAST({textstats.fingerprint64_sql_duckdb('text')} AS BIGINT) AS fingerprint, "
             f"{textstats.dup_token_frac_sql_duckdb('text')} AS dup_token_milli, "
             f"{textstats.top_token_frac_sql_duckdb('text')} AS top_token_milli, "
-            f"{textstats.dup_bigram_frac_sql_duckdb('text')} AS dup_bigram_milli "
+            f"{textstats.dup_bigram_frac_sql_duckdb('text')} AS dup_bigram_milli, "
+            f"{textstats.training_keep_sql_duckdb('text')} AS keep_default "
             f"FROM documents"
         ),
         "lang_distribution": (

@@ -210,6 +210,54 @@ def dup_bigram_frac_sql_duckdb(text_expr: str = "text") -> str:
     )
 
 
+def training_keep_expr(
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality_milli: int = 300,
+    max_dup_token_milli: int = 900,
+    max_top_token_milli: int = 300,
+    max_dup_bigram_milli: int = 600,
+) -> Column:
+    """The keep-predicate of the Gopher-style document filter as a single
+    boolean Column: length band, quality floor, and the three repetition
+    caps. Shared by :func:`filter_training_docs` (which applies it) and
+    the ``text_profile`` correctness gate (which records it per-doc and
+    hash-checks it against :func:`training_keep_sql_duckdb` with the same
+    thresholds), so the gated expression IS the filter's predicate."""
+    return (
+        token_count(text_col).between(min_tokens, max_tokens)
+        & (quality_score_milli(text_col) >= min_quality_milli)
+        & (dup_token_frac_milli(text_col) <= max_dup_token_milli)
+        & (top_token_frac_milli(text_col) <= max_top_token_milli)
+        & (dup_bigram_frac_milli(text_col) <= max_dup_bigram_milli)
+    )
+
+
+def training_keep_sql_duckdb(
+    text_expr: str = "text",
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality_milli: int = 300,
+    max_dup_token_milli: int = 900,
+    max_top_token_milli: int = 300,
+    max_dup_bigram_milli: int = 600,
+) -> str:
+    """DuckDB equivalent of :func:`training_keep_expr` (same defaults),
+    composed from the per-signal oracle helpers — 1 = keep, 0 = drop."""
+    return (
+        f"CAST(CASE WHEN "
+        f"{token_count_sql_duckdb(text_expr)} BETWEEN {min_tokens} AND {max_tokens} "
+        f"AND {quality_score_sql_duckdb(text_expr)} >= {min_quality_milli} "
+        f"AND {dup_token_frac_sql_duckdb(text_expr)} <= {max_dup_token_milli} "
+        f"AND {top_token_frac_sql_duckdb(text_expr)} <= {max_top_token_milli} "
+        f"AND {dup_bigram_frac_sql_duckdb(text_expr)} <= {max_dup_bigram_milli} "
+        f"THEN 1 ELSE 0 END AS INTEGER)"
+    )
+
+
 def filter_training_docs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -230,14 +278,17 @@ def filter_training_docs(
     predicate pushdown on any other filter. Thresholds default to the
     shape of the public literature's rules (Rae et al. 2021 A1.1) scaled
     to milli units; callers tune per corpus."""
-    keep = (
-        token_count(text_col).between(min_tokens, max_tokens)
-        & (quality_score_milli(text_col) >= min_quality_milli)
-        & (dup_token_frac_milli(text_col) <= max_dup_token_milli)
-        & (top_token_frac_milli(text_col) <= max_top_token_milli)
-        & (dup_bigram_frac_milli(text_col) <= max_dup_bigram_milli)
+    return docs.filter(
+        training_keep_expr(
+            text_col,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            min_quality_milli=min_quality_milli,
+            max_dup_token_milli=max_dup_token_milli,
+            max_top_token_milli=max_top_token_milli,
+            max_dup_bigram_milli=max_dup_bigram_milli,
+        )
     )
-    return docs.filter(keep)
 
 
 def profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -253,4 +304,6 @@ def profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         dup_token_frac_milli(text_col).alias("dup_token_milli"),
         top_token_frac_milli(text_col).alias("top_token_milli"),
         dup_bigram_frac_milli(text_col).alias("dup_bigram_milli"),
+        # would filter_training_docs (default thresholds) keep this doc?
+        training_keep_expr(text_col).cast("int").alias("keep_default"),
     )

@@ -69,6 +69,47 @@ def test_filter_training_docs_composition(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_filter_matches_profiled_keep_column(spark):
+    """filter_training_docs and profile()'s keep_default column share ONE
+    predicate (training_keep_expr) — the set the filter keeps is exactly
+    the keep_default=1 subset, and the DuckDB oracle expression
+    (training_keep_sql_duckdb, hash-gated corpus-wide via text_profile)
+    agrees on crafted edge docs."""
+    import duckdb
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near a quiet river bank today",
+        "too short",
+        " ".join(["spam"] * 40),
+        " ".join(["buy now"] * 20),
+        "",
+        "solo " * 15,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    kept = {r.doc_id for r in TS.filter_training_docs(df).select("doc_id").collect()}
+    flagged = {
+        r.doc_id
+        for r in TS.profile(df).filter("keep_default = 1").select("doc_id").collect()
+    }
+    assert kept == flagged
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)"
+    )
+    oracle = {
+        row[0]
+        for row in con.execute(
+            f"SELECT doc_id FROM documents WHERE "
+            f"{TS.training_keep_sql_duckdb('text')} = 1"
+        ).fetchall()
+    }
+    assert kept == oracle
+
+
 def test_repetition_signals_match_duckdb_on_crafted_docs(spark):
     """The same crafted docs through BOTH engines' expressions — the
     sf-corpus gate proves statistical parity; this proves it on the
