@@ -19,8 +19,14 @@ Scope (documented, not silent):
   modern writers emit — containers are found by the same scan, so xref
   STREAMS need no decoding either); page tree walk through
   ``/Root → /Pages → /Kids`` with file-order fallback; ``/Contents`` as
-  a single stream or an array; ``FlateDecode`` (incl. predictor-less
-  arrays of one filter) or unfiltered streams; string literals with all
+  a single stream or an array; filter chains of ``FlateDecode``,
+  ``LZWDecode`` (both with PNG/TIFF ``/DecodeParms`` predictors),
+  ``ASCIIHexDecode``, ``ASCII85Decode``, ``RunLengthDecode``, or
+  unfiltered streams; **empty-user-password encryption** via the
+  Standard security handler — R2/R3 RC4, R4 ``/V2``/``/AESV2``, R6
+  ``/AESV3`` AES-256 (:mod:`pdf_crypt`, stdlib-only, FIPS-197-vector
+  pinned), the permission-only "protection" most encrypted crawl PDFs
+  carry; string literals with all
   escape forms, hex strings; text operators ``Tj``, ``'``, ``"``,
   ``TJ`` (with kerning-gap word splits), line breaks from ``Td``,
   ``TD``, ``T*``, ``Tm``; **CID/Type0 fonts via their ``/ToUnicode``
@@ -35,8 +41,10 @@ Scope (documented, not silent):
   (a corpus-quality choice: absent text is recoverable garbage, wrong
   text poisons dedup/embedding downstream).
 * **not handled** (best-effort partial or empty result, never a raise) —
-  encryption, LZW/DCT/JBIG2 filters, glyph mapping through the font
-  program itself (a Type0 font with NO /ToUnicode). A production
+  documents requiring a REAL password, public-key (PKCS#7) encryption,
+  DCT/JBIG2/JPX image codecs (no text inside them), glyph mapping
+  through the font program itself (a Type0 font with NO /ToUnicode). A
+  production
   deployment swaps in a real parser behind the same slot; the
   Spark-side contract is identical.
 
@@ -208,8 +216,11 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
     """All ``N G obj`` bodies by scanning (xref-independent — also how
     viewers repair PDFs with broken tables): {num: (value, stream|None)}.
     Stream extent comes from /Length when it is a direct integer, else
-    the next ``endstream`` marker."""
+    the next ``endstream`` marker. Encrypted documents (empty user
+    password, Standard handler — see :mod:`pdf_crypt`) have their stream
+    bytes decrypted in place before object streams are expanded."""
     objects: dict[int, tuple[object, bytes | None]] = {}
+    gens: dict[int, int] = {}
     for m in _OBJ_HEAD_RE.finditer(data):
         num = int(m.group(1))
         i = m.end()
@@ -223,18 +234,76 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
         if sm is not None:
             start = sm.end()
             length = val.get("Length") if isinstance(val, dict) else None
-            if isinstance(length, int):
-                end = start + length
-                if data[end : end + 11].lstrip(b"\r\n") [:9] != b"endstream":
-                    end = data.find(b"endstream", start)
+            if isinstance(length, int) and (
+                data[start + length : start + length + 11].lstrip(b"\r\n")[:9]
+                == b"endstream"
+            ):
+                # exact /Length extent: keep every byte — trailing
+                # 0x0d/0x0a here can be live cipher/flate data
+                stream = data[start : start + length]
             else:
                 end = data.find(b"endstream", start)
-            if end < 0:
-                continue
-            stream = data[start:end].rstrip(b"\r\n")
+                if end < 0:
+                    continue
+                stream = data[start:end].rstrip(b"\r\n")
         objects[num] = (val, stream)
+        gens[num] = int(m.group(2))
+    _maybe_decrypt(data, objects, gens)
     _expand_object_streams(objects)
     return objects
+
+
+_TRAILER_RE = re.compile(rb"trailer\b")
+
+
+def _maybe_decrypt(data: bytes, objects, gens) -> None:
+    """If the document carries a Standard-handler /Encrypt dictionary
+    (found in a ``trailer`` dict or an xref-stream dict), decrypt every
+    top-level stream in place with the empty-user-password key. Anything
+    unsupported (real password required, public-key handler) leaves the
+    document untouched — downstream decode then skips those streams,
+    the same degrade path as an unsupported filter."""
+    enc_ref = id0 = None
+    candidates: list[dict] = []
+    for m in _TRAILER_RE.finditer(data):
+        try:
+            val, _ = _parse_value(data, _skip_ws(data, m.end()))
+        except (ValueError, IndexError, AssertionError):
+            continue
+        if isinstance(val, dict):
+            candidates.append(val)
+    candidates.extend(
+        val
+        for _num, (val, _s) in sorted(objects.items())
+        if isinstance(val, dict) and val.get("Type") == "XRef"
+    )
+    for t in candidates:
+        if "Encrypt" in t:
+            enc_ref = t["Encrypt"]
+            ids = t.get("ID")
+            if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                id0 = ids[0]
+            break
+    if enc_ref is None:
+        return
+    enc = _resolve(enc_ref, objects)
+    if not isinstance(enc, dict):
+        return
+    from semtools_spark.operators.pdf_crypt import StandardDecryptor
+
+    try:
+        dec = StandardDecryptor.from_encrypt(enc, id0 or b"")
+    except Exception:
+        dec = None
+    if dec is None:
+        return
+    enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else None
+    for num, (val, raw) in list(objects.items()):
+        if raw is None or num == enc_num:
+            continue
+        if isinstance(val, dict) and val.get("Type") == "XRef":
+            continue  # xref streams are never encrypted (spec §7.5.8.2)
+        objects[num] = (val, dec.decrypt(num, gens.get(num, 0), raw))
 
 
 def _expand_object_streams(objects) -> None:
@@ -247,7 +316,7 @@ def _expand_object_streams(objects) -> None:
     for _num, (val, raw) in sorted(objects.items()):
         if not (isinstance(val, dict) and val.get("Type") == "ObjStm" and raw):
             continue
-        dec = _decode_stream(val, raw)
+        dec = _decode_stream(val, raw, objects)
         n, first = val.get("N"), val.get("First")
         if dec is None or not isinstance(n, int) or not isinstance(first, int):
             continue
@@ -275,20 +344,209 @@ def _resolve(val, objects, depth: int = 0):
     return val
 
 
-def _decode_stream(sdict, raw: bytes) -> bytes | None:
-    filt = sdict.get("Filter") if isinstance(sdict, dict) else None
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes | None:
+    """LZWDecode (ISO 32000-1 §7.4.4 = TIFF LZW): variable 9..12-bit
+    codes MSB-first, 256 = clear table, 257 = EOD. ``EarlyChange`` (the
+    default 1) widens the code size one code early."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # 12-bit cap: writers clear or stop
+                    table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            # widen when the table reaches 2^width - EarlyChange — the
+            # reader-side rule qpdf and pdf.js both apply (the writer,
+            # one table entry ahead, widens at 2^width - EarlyChange + 1)
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes | None:
+    data = data.split(b"~>")[0].replace(b"<~", b"")
+    data = bytes(c for c in data if c not in _WS)
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c == 0x7A and not group:  # 'z' = four zero bytes
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            return None
+        group.append(c - 0x21)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:  # 2..4 trailing chars encode 1..3 bytes
+        if len(group) == 1:
+            return None
+        k = len(group)
+        group += [84] * (5 - k)
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes | None:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            if i + 1 >= n:
+                return None
+            out += data[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def _unpredict(data: bytes, parms: dict) -> bytes | None:
+    """Undo the optional PNG/TIFF predictor some writers put in front of
+    Flate/LZW (ISO 32000-1 §7.4.4.4)."""
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    if not all(isinstance(v, int) for v in (colors, bpc, columns)):
+        return None
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit components only)
+        if bpc != 8:
+            return None
+        row = bytearray(data)
+        for r in range(0, len(row), rowlen):
+            for i in range(r + bpp, min(r + rowlen, len(row))):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        return bytes(row)
+    # PNG predictors: each row prefixed with a filter-type byte
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        elif ft != 0:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(sdict, raw: bytes, objects=None) -> bytes | None:
+    """Run the stream's /Filter chain: Flate, LZW (both honoring a PNG/
+    TIFF /DecodeParms predictor), ASCIIHex, ASCII85, RunLength. Anything
+    else (DCT/JBIG2/JPX — image codecs with no text inside, and /Crypt)
+    skips the stream. ``objects`` resolves indirect Filter/DecodeParms."""
+    res = (lambda v: _resolve(v, objects) if objects is not None else v)
+    filt = res(sdict.get("Filter")) if isinstance(sdict, dict) else None
     if filt is None:
         return raw
     filters = filt if isinstance(filt, list) else [filt]
+    parms = res(sdict.get("DecodeParms", sdict.get("DP")))
+    parms_list = parms if isinstance(parms, list) else [parms]
     out = raw
-    for f in filters:
-        if f == "FlateDecode":
+    for k, f in enumerate(filters):
+        f = res(f)
+        p = res(parms_list[k]) if k < len(parms_list) else None
+        p = p if isinstance(p, dict) else {}
+        if f == "FlateDecode" or f == "Fl":
             try:
                 out = zlib.decompress(out)
             except zlib.error:
                 return None
+        elif f == "LZWDecode" or f == "LZW":
+            ec = res(p.get("EarlyChange", 1))
+            dec = _lzw_decode(out, ec if isinstance(ec, int) else 1)
+            if dec is None:
+                return None
+            out = dec
+        elif f == "ASCIIHexDecode" or f == "AHx":
+            hx = out.split(b">")[0]
+            hx = bytes(c for c in hx if c not in _WS)
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                out = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+            continue  # predictors never apply to ASCII filters
+        elif f == "ASCII85Decode" or f == "A85":
+            dec = _ascii85_decode(out)
+            if dec is None:
+                return None
+            out = dec
+            continue
+        elif f == "RunLengthDecode" or f == "RL":
+            dec = _runlength_decode(out)
+            if dec is None:
+                return None
+            out = dec
+            continue
         else:
-            return None  # LZW/DCT/…: out of scope, skip this stream
+            return None  # DCT/JBIG2/JPX/Crypt: out of scope, skip
+        if p:
+            dec = _unpredict(out, p)
+            if dec is None:
+                return None
+            out = dec
     return out
 
 
@@ -456,7 +714,7 @@ def _fonts_of(resources, objects) -> dict[str, _Font]:
         if num is not None and num in objects:
             sdict, raw = objects[num]
             if raw is not None:
-                dec = _decode_stream(sdict, raw)
+                dec = _decode_stream(sdict, raw, objects)
                 if dec is not None:
                     try:
                         to_uni, codespace = _parse_tounicode_cmap(dec)
@@ -483,7 +741,7 @@ def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font]]]":
             sdict, raw = objects[num]
             if raw is None:
                 continue
-            dec = _decode_stream(sdict, raw)
+            dec = _decode_stream(sdict, raw, objects)
             if dec is not None:
                 out.append(dec)
         return out
