@@ -872,16 +872,27 @@ def extract_pdf_text(data: bytes) -> str:
 
 def extract_any(data: bytes) -> str:
     """Format-dispatching extractor for mixed crawl corpora: PDF magic →
-    :func:`extract_pdf_text`, ZIP containing WordprocessingML →
-    :func:`~semtools_spark.operators.docx_extract.extract_docx_text`,
-    anything else → the real-HTML main-content extractor. Still one
-    deterministic ``bytes -> str`` function, so it drops into
+    :func:`extract_pdf_text`; ZIP containing WordprocessingML /
+    PresentationML / SpreadsheetML → the matching Office extractor
+    (:mod:`docx_extract`, :mod:`office_extract`); anything else → the
+    real-HTML main-content extractor. Still one deterministic
+    ``bytes -> str`` function, so it drops into
     ``parse_pages(extractor=...)`` unchanged."""
     from semtools_spark.operators.docx_extract import extract_docx_text, is_docx
     from semtools_spark.operators.html_extract import extract_main_text
+    from semtools_spark.operators.office_extract import (
+        extract_pptx_text,
+        extract_xlsx_text,
+        is_pptx,
+        is_xlsx,
+    )
 
     if is_pdf(data):
         return extract_pdf_text(data)
     if is_docx(data):
         return extract_docx_text(data)
+    if is_pptx(data):
+        return extract_pptx_text(data)
+    if is_xlsx(data):
+        return extract_xlsx_text(data)
     return extract_main_text(data)
