@@ -210,15 +210,26 @@ def dup_bigram_frac_sql_duckdb(text_expr: str = "text") -> str:
     )
 
 
+#: default Gopher-style thresholds (Rae et al. 2021 A1.1 shapes, milli
+#: units) shared by training_keep_expr / training_keep_sql_duckdb /
+#: filter_training_docs / profile()'s keep_default column
+DEFAULT_MIN_TOKENS = 10
+DEFAULT_MAX_TOKENS = 100_000
+DEFAULT_MIN_QUALITY_MILLI = 300
+DEFAULT_MAX_DUP_TOKEN_MILLI = 900
+DEFAULT_MAX_TOP_TOKEN_MILLI = 300
+DEFAULT_MAX_DUP_BIGRAM_MILLI = 600
+
+
 def training_keep_expr(
     text_col: str = "text",
     *,
-    min_tokens: int = 10,
-    max_tokens: int = 100_000,
-    min_quality_milli: int = 300,
-    max_dup_token_milli: int = 900,
-    max_top_token_milli: int = 300,
-    max_dup_bigram_milli: int = 600,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    min_quality_milli: int = DEFAULT_MIN_QUALITY_MILLI,
+    max_dup_token_milli: int = DEFAULT_MAX_DUP_TOKEN_MILLI,
+    max_top_token_milli: int = DEFAULT_MAX_TOP_TOKEN_MILLI,
+    max_dup_bigram_milli: int = DEFAULT_MAX_DUP_BIGRAM_MILLI,
 ) -> Column:
     """The keep-predicate of the Gopher-style document filter as a single
     boolean Column: length band, quality floor, and the three repetition
@@ -238,12 +249,12 @@ def training_keep_expr(
 def training_keep_sql_duckdb(
     text_expr: str = "text",
     *,
-    min_tokens: int = 10,
-    max_tokens: int = 100_000,
-    min_quality_milli: int = 300,
-    max_dup_token_milli: int = 900,
-    max_top_token_milli: int = 300,
-    max_dup_bigram_milli: int = 600,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    min_quality_milli: int = DEFAULT_MIN_QUALITY_MILLI,
+    max_dup_token_milli: int = DEFAULT_MAX_DUP_TOKEN_MILLI,
+    max_top_token_milli: int = DEFAULT_MAX_TOP_TOKEN_MILLI,
+    max_dup_bigram_milli: int = DEFAULT_MAX_DUP_BIGRAM_MILLI,
 ) -> str:
     """DuckDB equivalent of :func:`training_keep_expr` (same defaults),
     composed from the per-signal oracle helpers — 1 = keep, 0 = drop."""
@@ -263,12 +274,12 @@ def filter_training_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
-    min_tokens: int = 10,
-    max_tokens: int = 100_000,
-    min_quality_milli: int = 300,
-    max_dup_token_milli: int = 900,
-    max_top_token_milli: int = 300,
-    max_dup_bigram_milli: int = 600,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    min_quality_milli: int = DEFAULT_MIN_QUALITY_MILLI,
+    max_dup_token_milli: int = DEFAULT_MAX_DUP_TOKEN_MILLI,
+    max_top_token_milli: int = DEFAULT_MAX_TOP_TOKEN_MILLI,
+    max_dup_bigram_milli: int = DEFAULT_MAX_DUP_BIGRAM_MILLI,
 ) -> DataFrame:
     """The keep-side of a Gopher-style document filter: length band,
     quality floor, and the three repetition caps applied in one pass.
@@ -293,9 +304,18 @@ def filter_training_docs(
 
 def profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per doc: token count, detected language, quality score,
-    fingerprint, and the three repetition signals — the text-analysis
-    sweep a training pipeline runs first."""
-    return docs.select(
+    fingerprint, the three repetition signals, and whether
+    :func:`filter_training_docs` (default thresholds) would keep the doc
+    — the text-analysis sweep a training pipeline runs first.
+
+    ``keep_default`` is derived from the already-computed signal COLUMNS
+    in a second projection, not re-derived from the text: the signal
+    expressions are higher-order functions that run interpreted (outside
+    codegen CSE), and Catalyst's CollapseProject keeps the two projects
+    separate exactly because each expensive alias is referenced twice —
+    so every signal is evaluated once per row (A/B: re-deriving from
+    text cost +33% on the gate query)."""
+    sig = docs.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
         lang_id_expr(text_col).alias("lang_pred"),
@@ -304,6 +324,12 @@ def profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         dup_token_frac_milli(text_col).alias("dup_token_milli"),
         top_token_frac_milli(text_col).alias("top_token_milli"),
         dup_bigram_frac_milli(text_col).alias("dup_bigram_milli"),
-        # would filter_training_docs (default thresholds) keep this doc?
-        training_keep_expr(text_col).cast("int").alias("keep_default"),
     )
+    keep = (
+        F.col("n_tokens").between(DEFAULT_MIN_TOKENS, DEFAULT_MAX_TOKENS)
+        & (F.col("quality_milli") >= DEFAULT_MIN_QUALITY_MILLI)
+        & (F.col("dup_token_milli") <= DEFAULT_MAX_DUP_TOKEN_MILLI)
+        & (F.col("top_token_milli") <= DEFAULT_MAX_TOP_TOKEN_MILLI)
+        & (F.col("dup_bigram_milli") <= DEFAULT_MAX_DUP_BIGRAM_MILLI)
+    )
+    return sig.select("*", keep.cast("int").alias("keep_default"))
