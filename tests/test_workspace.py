@@ -1053,6 +1053,107 @@ def test_workspace_snapshot_pins_lines_manifest_pairing(spark, tmp_path, docs, m
     assert (3, 34, 300) in man_set(done)
 
 
+def test_workspace_mutation_crash_sweep_pairs_tables(spark, tmp_path, monkeypatch):
+    """Exhaustive crash sweep of a full workspace mutation (sync touching
+    BOTH tables): kill at every hfs rename/write/delete boundary in
+    turn. After every kill a fresh reader must see the complete OLD
+    pairing or the complete NEW pairing of (lines, manifest) — never a
+    cross-table mix — and the idempotent re-run must converge. This is
+    the workspace-snapshot analog of the per-table generation-commit
+    sweep above.
+
+    Lease/heartbeat IO is exempt from injection: a real crash leaves the
+    lease held and recovery then goes through TTL expiry / tombstone
+    reclaim, which has its own tests — this sweep certifies TABLE state,
+    so it lets the lease release succeed to keep each iteration
+    independent."""
+    import shutil
+
+    from semtools_spark import fs as hfs
+
+    root = str(tmp_path / "ws_sweep_pair")
+    docs_v1 = spark.createDataFrame(
+        [(i, f"alpha v1 doc {i}\nsecond line {i}", 100 + i) for i in range(6)],
+        "doc_id long, text string, mtime long",
+    )
+    docs_v2 = spark.createDataFrame(
+        [(i, f"beta v2 doc {i}", 200 + i) for i in range(6)],
+        "doc_id long, text string, mtime long",
+    )
+    W.Workspace(spark, root, dim=8, n_buckets=2).sync(docs_v1, mtime_col="mtime")
+    pristine = str(tmp_path / "ws_sweep_pair_pristine")
+    shutil.copytree(root, pristine)
+
+    def pairing():
+        r = W.Workspace(spark, root, dim=8, n_buckets=2)
+        lines = frozenset(
+            (x.doc, x.line_no, x.line) for x in r.lines().collect()
+        )
+        man = frozenset((x.doc, x.mtime) for x in r.manifest().collect())
+        return lines, man
+
+    old_pair = pairing()
+
+    real = {"rename": hfs.rename, "write_text": hfs.write_text, "delete": hfs.delete}
+    ops = {"n": 0, "budget": None}
+
+    def _lease_io(args) -> bool:
+        return any(
+            isinstance(a, str) and ("_writer." in a) for a in args
+        )
+
+    def wrap(name):
+        fn = real[name]
+
+        def _w(spark_, *a, **kw):
+            if not _lease_io(a):
+                if ops["budget"] is not None and ops["n"] >= ops["budget"]:
+                    raise RuntimeError("injected crash")
+                ops["n"] += 1
+            return fn(spark_, *a, **kw)
+
+        return _w
+
+    for name in real:
+        monkeypatch.setattr(hfs, name, wrap(name))
+
+    # dry run: count the countable IO boundaries of one full mutation
+    W.Workspace(spark, root, dim=8, n_buckets=2).sync(docs_v2, mtime_col="mtime")
+    total_ops = ops["n"]
+    assert total_ops > 6, total_ops
+    new_pair = pairing()
+    assert new_pair != old_pair
+
+    mixes = []
+    for k in range(total_ops):
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.copytree(pristine, root)
+        ops["n"], ops["budget"] = 0, k
+        try:
+            W.Workspace(spark, root, dim=8, n_buckets=2).sync(
+                docs_v2, mtime_col="mtime"
+            )
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        ops["budget"] = None
+        got = pairing()
+        if got not in (old_pair, new_pair):
+            mix_kind = (
+                "cross-table mix"
+                if (got[0] in (old_pair[0], new_pair[0]))
+                != (got[1] in (old_pair[1], new_pair[1]))
+                or (got[0] == old_pair[0]) != (got[1] == old_pair[1])
+                else "corrupt table"
+            )
+            mixes.append((k, crashed, mix_kind))
+            continue
+        ops["n"] = 0
+        W.Workspace(spark, root, dim=8, n_buckets=2).sync(docs_v2, mtime_col="mtime")
+        assert pairing() == new_pair, f"crash point {k}: re-run did not converge"
+    assert not mixes, f"inconsistent pairings at crash points: {mixes}"
+
+
 def test_stale_lease_reclaim_is_atomic_tombstone(spark, tmp_path, docs, monkeypatch):
     """ADVICE r5 (medium): reclaiming a stale lease renames it to a
     tombstone — of N racers exactly one rename succeeds; a loser raises
