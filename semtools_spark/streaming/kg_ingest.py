@@ -1,0 +1,176 @@
+"""Streaming KG ingestion: continuous parse→triples over newly landed
+page files, with the global link→canon→graph stages run as periodic
+batch refreshes over the accumulated triples.
+
+The reference's parse is a one-shot CLI over a directory
+(src/parse/mod.rs); a continuously crawled corpus instead LANDS files
+over time. This module is that deployment shape, split the way
+production ingest pipelines split it:
+
+* **per-page work scales with the batch** — extraction and triple
+  emission are embarrassingly parallel, so they run per micro-batch on a
+  Structured Streaming file source (``ingest_available``), sharing the
+  exact batch operators (:func:`parse_pages`, :func:`kg.extract_triples`)
+  so the semantics are tested once and deployed both ways (the same
+  principle as :mod:`streaming.incremental`'s Workspace.sync reuse);
+* **global work scales with the corpus** — entity linking needs the full
+  distinct-mention set and canonicalization is an iterative global CC,
+  so ``refresh_graph`` recomputes them as a batch over everything
+  ingested so far, on whatever cadence the operator chooses. At 100 TB
+  the refresh reads only the two columns the mention set needs
+  (column-pruned parquet scan), and its join/CC shapes are the
+  pipeline's — already certified at scale.
+
+Exactly-once: the streaming checkpoint decides WHICH files each
+micro-batch sees; each batch's triples land under
+``ingest_batch=<id>/`` via dynamic-partition overwrite, so a
+``foreachBatch`` replay after a crash REWRITES its own partition instead
+of appending duplicates — the standard foreachBatch idempotence recipe
+(exactly-once table content, at-least-once batch execution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from semtools_spark.operators import kg
+from semtools_spark.operators.parse import parse_pages
+
+#: the north-rule page schema (BASELINE.json input_hint), nullable on the
+#: stream side — a crawler may land rows with absent html or lang
+PAGES_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def _triples_path(out_dir: str) -> str:
+    return f"{out_dir.rstrip('/')}/triples_ingest.parquet"
+
+
+def ingest_available(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    extractor=None,
+    schema: T.StructType = PAGES_STREAM_SCHEMA,
+) -> list[dict]:
+    """Drain all pending page files from ``pages_dir``: each micro-batch
+    runs parse → extract_triples and overwrites its own
+    ``ingest_batch=<id>`` partition of the accumulated triples table.
+    Returns per-batch metrics, in order (``Trigger.AvailableNow`` — the
+    catch-up/backfill pattern; a production deployment runs the same
+    query with a processing-time trigger)."""
+    results: list[dict] = []
+    triples_path = _triples_path(out_dir)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parsed = parse_pages(batch_df, extractor=extractor)
+        triples = kg.extract_triples(parsed, id_col="url").withColumn(
+            "ingest_batch", F.lit(int(batch_id))
+        )
+        (
+            triples.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(triples_path)
+        )
+        # metadata-only counts (parquet footers) — no second data pass
+        n_triples = (
+            batch_df.sparkSession.read.parquet(triples_path)
+            .filter(F.col("ingest_batch") == int(batch_id))
+            .count()
+        )
+        results.append(
+            {"batch_id": int(batch_id), "pages": batch_df.count(), "triples": n_triples}
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(pages_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return results
+
+
+def accumulated_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Everything ingested so far, the batch-pipeline triple schema."""
+    return spark.read.parquet(_triples_path(out_dir)).drop("ingest_batch")
+
+
+def refresh_graph(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    dim: int = 64,
+    seed: int = 42,
+    max_link_distance: float | None = None,
+    link_lsh_above: int | None = None,
+    cc_checkpoint_dir: str | None = None,
+) -> dict:
+    """Recompute the global stages (link → canon → graph) over the
+    accumulated triples — the batch pipeline's exact dataflow
+    (pipeline.py stages 3-5), writing ``canon.parquet`` and
+    ``graph.parquet`` next to the ingest table. Deterministic: a refresh
+    after N batches equals the batch pipeline run over the union of
+    those batches' pages (pinned by the equivalence test)."""
+    out = out_dir.rstrip("/")
+    triples = accumulated_triples(spark, out_dir)
+    mentions = triples.select(F.col("subj").alias("mention")).union(
+        triples.select(F.col("obj").alias("mention"))
+    )
+    catalog = kg.build_entity_catalog(spark, dim=dim, seed=seed)
+    link = kg.link_entities(
+        mentions,
+        catalog,
+        dim=dim,
+        seed=seed,
+        max_distance=max_link_distance,
+        use_lsh_above=link_lsh_above,
+        catalog_size=len(kg.ENTITIES),
+    )
+    link.write.mode("overwrite").parquet(f"{out}/link.parquet")
+    canon = kg.canonicalize_mentions(
+        spark.read.parquet(f"{out}/link.parquet"),
+        cc_checkpoint_dir=cc_checkpoint_dir,
+    )
+    canon.write.mode("overwrite").parquet(f"{out}/canon.parquet")
+    canon = spark.read.parquet(f"{out}/canon.parquet")
+    c_subj = canon.select(
+        F.col("mention").alias("subj"), F.col("canonical_id").alias("subj_id")
+    )
+    c_obj = canon.select(
+        F.col("mention").alias("obj"), F.col("canonical_id").alias("obj_id")
+    )
+    graph = (
+        triples.join(c_subj, "subj", "left")
+        .join(c_obj, "obj", "left")
+        .groupBy("subj", "pred", "obj", "subj_id", "obj_id")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    graph.write.mode("overwrite").parquet(f"{out}/graph.parquet")
+    n = spark.read.parquet(f"{out}/graph.parquet").count()
+    return {
+        "graph_rows": n,
+        "paths": {
+            "triples": _triples_path(out_dir),
+            "link": f"{out}/link.parquet",
+            "canon": f"{out}/canon.parquet",
+            "graph": f"{out}/graph.parquet",
+        },
+    }

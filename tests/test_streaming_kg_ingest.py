@@ -1,0 +1,114 @@
+"""Streaming KG ingestion: micro-batched parse→triples over landed page
+files equals the batch pipeline over the same corpus; offsets checkpoint
+so a second drain processes only new files; the per-batch partition
+write is replay-idempotent."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from semtools_spark.operators import kg
+from semtools_spark.sources.web_pages import generate_web_pages
+from semtools_spark.streaming.kg_ingest import (
+    accumulated_triples,
+    ingest_available,
+    refresh_graph,
+)
+
+SEED = 42
+
+
+def _land(spark, src_dir, lo, hi):
+    """Land pages [lo, hi) of the deterministic corpus as ONE new file
+    (sliced by the page number embedded in the url, so landings are
+    disjoint and their union is the first `hi` pages)."""
+    pages = generate_web_pages(spark, hi, SEED)
+    pages = pages.withColumn(
+        "__n", F.regexp_extract("url", r"/p/(\d+)", 1).cast("long")
+    ).filter((F.col("__n") >= lo) & (F.col("__n") < hi)).drop("__n")
+    pages.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def test_ingest_two_landings_then_refresh_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages_stream")
+    out = str(tmp_path / "kg_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(spark, src, 0, 40)
+    r1 = ingest_available(spark, src, out, checkpoint_dir=ckpt)
+    assert len(r1) == 1 and r1[0]["pages"] == 40 and r1[0]["triples"] > 0
+
+    # second landing: only the NEW file is processed (offset checkpoint)
+    _land(spark, src, 40, 60)
+    r2 = ingest_available(spark, src, out, checkpoint_dir=ckpt)
+    assert len(r2) == 1 and r2[0]["pages"] == 20
+
+    # nothing pending → no batches
+    assert ingest_available(spark, src, out, checkpoint_dir=ckpt) == []
+
+    # accumulated triples == batch extraction over the full corpus
+    all_pages = generate_web_pages(spark, 60, SEED)
+    from semtools_spark.operators.parse import parse_pages
+
+    want = {
+        tuple(r)
+        for r in kg.extract_triples(parse_pages(all_pages), id_col="url")
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in accumulated_triples(spark, out)
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    assert got == want
+
+    # the global refresh equals the batch pipeline's graph stage over
+    # the same corpus (same link/canon/graph dataflow)
+    rep = refresh_graph(spark, out, dim=32, seed=SEED)
+    assert rep["graph_rows"] > 0
+
+    from semtools_spark.pipeline import run_webkg_pipeline
+
+    batch_pages = str(tmp_path / "pages_batch")
+    all_pages.write.mode("overwrite").parquet(batch_pages)
+    batch_out = str(tmp_path / "batch_out")
+    run_webkg_pipeline(spark, batch_pages, batch_out, dim=32, seed=SEED)
+
+    def graph_set(path):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("subj", "pred", "obj", "subj_id", "obj_id", "n_mentions")
+            .collect()
+        }
+
+    assert graph_set(rep["paths"]["graph"]) == graph_set(
+        f"{batch_out}/graph.parquet"
+    )
+
+
+def test_ingest_batch_partition_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a replay by re-running the
+    same landing against a FRESH checkpoint (same batch id 0, same
+    files) — the dynamic-partition overwrite rewrites ingest_batch=0
+    instead of duplicating its rows."""
+    src = str(tmp_path / "pages_replay")
+    out = str(tmp_path / "kg_replay")
+
+    _land(spark, src, 0, 30)
+    ingest_available(spark, src, out, checkpoint_dir=str(tmp_path / "ck1"))
+    first = accumulated_triples(spark, out).count()
+    ingest_available(spark, src, out, checkpoint_dir=str(tmp_path / "ck2"))
+    assert accumulated_triples(spark, out).count() == first
+
+    # batch ids are recorded on disk as partitions
+    parts = [
+        d
+        for d in os.listdir(f"{out}/triples_ingest.parquet")
+        if d.startswith("ingest_batch=")
+    ]
+    assert parts == ["ingest_batch=0"]
