@@ -61,6 +61,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="recompute every stage, ignoring committed manifests")
     ap.add_argument("--cc-checkpoint", default=None,
                     help="shared-fs dir for durable per-round CC snapshots")
+    ap.add_argument("--mode", choices=("batch", "ingest", "refresh"),
+                    default="batch",
+                    help="batch (default): the full 5-stage pipeline with "
+                         "manifest resume. ingest: drain newly landed page "
+                         "files via Structured Streaming (parse->triples "
+                         "per micro-batch, exactly-once partitions; "
+                         "--stream-checkpoint required) — the continuous-"
+                         "crawl shape. refresh: recompute the global "
+                         "link->canon->graph stages over everything "
+                         "ingested so far")
+    ap.add_argument("--stream-checkpoint", default=None,
+                    help="streaming offset checkpoint dir (ingest mode)")
     args = ap.parse_args(argv)
 
     from pyspark import SparkConf
@@ -84,6 +96,29 @@ def main(argv: list[str] | None = None) -> int:
 
         mod_name, _, fn_name = args.extractor.partition(":")
         extractor = getattr(importlib.import_module(mod_name), fn_name)
+
+    if args.mode == "ingest":
+        if not args.stream_checkpoint:
+            ap.error("--mode ingest requires --stream-checkpoint")
+        from semtools_spark.streaming.kg_ingest import ingest_available
+
+        batches = ingest_available(
+            spark, args.pages, args.out,
+            checkpoint_dir=args.stream_checkpoint, extractor=extractor,
+        )
+        print(json.dumps({"mode": "ingest", "batches": batches}))
+        return 0
+    if args.mode == "refresh":
+        from semtools_spark.streaming.kg_ingest import refresh_graph
+
+        rep = refresh_graph(
+            spark, args.out, dim=args.dim, seed=args.seed,
+            max_link_distance=args.max_link_distance,
+            link_lsh_above=args.link_lsh_above,
+            cc_checkpoint_dir=args.cc_checkpoint,
+        )
+        print(json.dumps({"mode": "refresh", **rep}))
+        return 0
 
     from semtools_spark import pipeline as P
 

@@ -112,3 +112,29 @@ def test_ingest_batch_partition_is_replay_idempotent(spark, tmp_path):
         if d.startswith("ingest_batch=")
     ]
     assert parts == ["ingest_batch=0"]
+
+
+def test_run_kg_cli_ingest_and_refresh_modes(spark, tmp_path):
+    """jobs/run_kg.py --mode ingest / --mode refresh: the spark-submit
+    deployment path for the continuous-crawl shape."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    try:
+        import run_kg
+    finally:
+        sys.path.pop(0)
+
+    src = str(tmp_path / "pages_cli")
+    out = str(tmp_path / "kg_cli")
+    ck = str(tmp_path / "ck_cli")
+    _land(spark, src, 0, 30)
+    assert run_kg.main([
+        "--pages", src, "--out", out, "--mode", "ingest",
+        "--stream-checkpoint", ck,
+    ]) == 0
+    assert run_kg.main([
+        "--pages", src, "--out", out, "--mode", "refresh",
+        "--dim", "32", "--seed", str(SEED),
+    ]) == 0
+    assert spark.read.parquet(f"{out}/graph.parquet").count() > 0
