@@ -1,4 +1,4 @@
-"""Pure-Python PPTX / XLSX text extractors for the pluggable parse slot.
+"""Pure-Python PPTX / XLSX / EPUB text extractors for the pluggable parse slot.
 
 The reference's ``parse`` accepts Office documents generally (semtools
 src/parse/client.rs:290-433 posts them to the LlamaParse API; the README
@@ -25,6 +25,13 @@ Mapping (documented, not silent):
   (dates stay serial numbers — no locale-dependent rendering, which
   would break byte-determinism); sheets join with "\\n\\n". Formulas
   contribute their cached value, not their expression.
+* **EPUB** (not ECMA-376 but the same ZIP+XML shape) — content
+  documents in SPINE order (``container.xml`` → the OPF's manifest +
+  spine; falls back to part-name order when the OPF is absent/broken);
+  each XHTML content document contributes its block-level text, one
+  line per block (p/h1..h6/li/blockquote/td, with script/style
+  dropped); documents join with "\\n\\n". Navigation/NCX parts are
+  skipped via the spine; DRM'd books extract empty.
 
 Malformed input degrades to partial/empty text, never a raise."""
 
@@ -35,7 +42,14 @@ import re
 import zipfile
 from xml.etree import ElementTree as ET
 
-__all__ = ["extract_pptx_text", "extract_xlsx_text", "is_pptx", "is_xlsx"]
+__all__ = [
+    "extract_pptx_text",
+    "extract_xlsx_text",
+    "extract_epub_text",
+    "is_pptx",
+    "is_xlsx",
+    "is_epub",
+]
 
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
@@ -181,4 +195,129 @@ def extract_xlsx_text(data: bytes) -> str:
                     lines.append(line)
             if lines:
                 out.append("\n".join(lines))
+    return "\n\n".join(out)
+
+
+# ---- EPUB ----------------------------------------------------------------
+
+_CNT = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+_OPF = "{http://www.idpf.org/2007/opf}"
+_XHTML = "{http://www.w3.org/1999/xhtml}"
+
+#: block-level elements that end a line of extracted text
+_EPUB_BLOCKS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li blockquote td th dt dd figcaption".split()
+)
+_EPUB_SKIP = frozenset(("script", "style", "head"))
+
+
+def is_epub(data: bytes) -> bool:
+    """EPUB's OCF magic: the first entry is an (uncompressed) ``mimetype``
+    of ``application/epub+zip`` — checkable straight off the local file
+    header, no central directory needed. Falls back to a namelist probe
+    for writers that misplace the entry."""
+    if data[:4] != b"PK\x03\x04":
+        return False
+    if data[30:38] == b"mimetype" and b"application/epub+zip" in data[38:100]:
+        return True
+    names = _zip_names(data)
+    if names is None or "mimetype" not in names:
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            return zf.read("mimetype").strip() == b"application/epub+zip"
+    except Exception:
+        return False
+
+
+def _epub_spine(zf: zipfile.ZipFile) -> "list[str] | None":
+    """Content-document part names in spine order via container.xml →
+    OPF; None when either is absent/broken."""
+    try:
+        container = ET.fromstring(zf.read("META-INF/container.xml"))
+        rootfile = next(
+            r.get("full-path")
+            for r in container.iter(_CNT + "rootfile")
+            if r.get("full-path")
+        )
+        opf = ET.fromstring(zf.read(rootfile))
+    except Exception:
+        return None
+    base = rootfile.rsplit("/", 1)[0] + "/" if "/" in rootfile else ""
+    items = {
+        it.get("id"): it.get("href")
+        for it in opf.iter(_OPF + "item")
+        if it.get("id") and it.get("href")
+    }
+    order = []
+    for ref in opf.iter(_OPF + "itemref"):
+        href = items.get(ref.get("idref"))
+        if href:
+            order.append(base + href)
+    return order or None
+
+
+def _xhtml_blocks(xml: bytes) -> list[str]:
+    """Block-level text lines of one XHTML content document."""
+    try:
+        root = ET.fromstring(xml)
+    except Exception:
+        return []
+    lines: list[str] = []
+    cur: list[str] = []
+
+    def localname(tag) -> str:
+        return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+    def flush():
+        txt = " ".join("".join(cur).split())
+        if txt:
+            lines.append(txt)
+        cur.clear()
+
+    def walk(el):
+        name = localname(el.tag)
+        if name in _EPUB_SKIP:
+            return
+        block = name in _EPUB_BLOCKS
+        if block:
+            flush()
+        if el.text:
+            cur.append(el.text)
+        for child in el:
+            walk(child)
+            if child.tail:
+                cur.append(child.tail)
+        if block:
+            flush()
+
+    walk(root)
+    flush()
+    return lines
+
+
+def extract_epub_text(data: bytes) -> str:
+    """EPUB bytes → text: one line per block, content documents in spine
+    order joined with \\n\\n."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except Exception:
+        return ""
+    with zf:
+        names = zf.namelist()
+        spine = _epub_spine(zf)
+        if spine is None:
+            spine = sorted(
+                n for n in names if n.endswith((".xhtml", ".html", ".htm"))
+            )
+        out: list[str] = []
+        for name in spine:
+            if name not in names:
+                continue
+            try:
+                blocks = _xhtml_blocks(zf.read(name))
+            except Exception:
+                continue
+            if blocks:
+                out.append("\n".join(blocks))
     return "\n\n".join(out)

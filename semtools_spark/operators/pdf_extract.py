@@ -881,14 +881,18 @@ def extract_any(data: bytes) -> str:
     from semtools_spark.operators.docx_extract import extract_docx_text, is_docx
     from semtools_spark.operators.html_extract import extract_main_text
     from semtools_spark.operators.office_extract import (
+        extract_epub_text,
         extract_pptx_text,
         extract_xlsx_text,
+        is_epub,
         is_pptx,
         is_xlsx,
     )
 
     if is_pdf(data):
         return extract_pdf_text(data)
+    if is_epub(data):  # cheapest zip probe: magic off the first entry
+        return extract_epub_text(data)
     if is_docx(data):
         return extract_docx_text(data)
     if is_pptx(data):

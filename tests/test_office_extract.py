@@ -188,3 +188,87 @@ def test_office_through_parse_pages_slot(spark):
         "https://ex.com/deck.pptx": "deck body text",
         "https://ex.com/book.xlsx": "sheet body",
     }
+
+
+def _mk_epub(chapters: list[str], with_opf: bool = True) -> bytes:
+    """Minimal EPUB: OCF mimetype (stored first, uncompressed), container
+    → OPF with spine, XHTML chapters. Chapter entries are body XHTML."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(2020, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, "application/epub+zip")
+        parts: dict[str, str] = {}
+        if with_opf:
+            parts["META-INF/container.xml"] = (
+                '<?xml version="1.0"?><container version="1.0" '
+                'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+                '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+                'media-type="application/oebps-package+xml"/></rootfiles>'
+                "</container>"
+            )
+            items = "".join(
+                f'<item id="c{i}" href="ch{i}.xhtml" '
+                'media-type="application/xhtml+xml"/>'
+                for i in range(len(chapters))
+            )
+            # spine deliberately REVERSES file order to prove spine wins
+            refs = "".join(
+                f'<itemref idref="c{i}"/>'
+                for i in reversed(range(len(chapters)))
+            )
+            parts["OEBPS/content.opf"] = (
+                '<?xml version="1.0"?><package version="3.0" '
+                'xmlns="http://www.idpf.org/2007/opf" unique-identifier="u">'
+                f"<manifest>{items}</manifest><spine>{refs}</spine></package>"
+            )
+        for i, body in enumerate(chapters):
+            parts[f"OEBPS/ch{i}.xhtml"] = (
+                '<?xml version="1.0"?><html '
+                'xmlns="http://www.w3.org/1999/xhtml"><head>'
+                "<style>p{color:red}</style></head>"
+                f"<body>{body}</body></html>"
+            )
+        for name, text in sorted(parts.items()):
+            zi = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, text)
+    return buf.getvalue()
+
+
+def test_epub_blocks_spine_order_and_inline_markup():
+    data = _mk_epub(
+        [
+            "<h1>Chapter One</h1><p>First <em>styled</em> paragraph.</p>"
+            "<ul><li>alpha</li><li>beta</li></ul>",
+            "<p>Second chapter text.</p>",
+        ]
+    )
+    assert OX.is_epub(data)
+    # spine reverses file order: ch1 first
+    assert OX.extract_epub_text(data) == (
+        "Second chapter text."
+        "\n\n"
+        "Chapter One\nFirst styled paragraph.\nalpha\nbeta"
+    )
+
+
+def test_epub_without_opf_falls_back_to_name_order():
+    data = _mk_epub(["<p>one</p>", "<p>two</p>"], with_opf=False)
+    assert OX.is_epub(data)
+    assert OX.extract_epub_text(data) == "one\n\ntwo"
+
+
+def test_extract_any_dispatches_epub():
+    data = _mk_epub(["<p>book body</p>"])
+    assert PX.extract_any(data) == "book body"
+    # docx/pptx/xlsx zips are NOT epubs
+    assert not OX.is_epub(_mk_pptx([_ap("x")]))
+
+
+def test_epub_malformed_degrades():
+    assert OX.extract_epub_text(b"") == ""
+    assert OX.extract_epub_text(b"PK\x03\x04" + b"\x00" * 30) == ""
+    # epub magic but truncated archive
+    junk = b"PK\x03\x04" + b"\x00" * 22 + b"\x08\x00" + b"mimetypeapplication/epub+zip"
+    assert OX.extract_epub_text(junk) == ""
