@@ -900,3 +900,12 @@ def extract_any(data: bytes) -> str:
     if is_xlsx(data):
         return extract_xlsx_text(data)
     return extract_main_text(data)
+
+
+#: behavior version for the parse-cache fingerprint (pipeline.py):
+#: bumped whenever these functions' OUTPUT changes for some input so
+#: cached parses from older code re-run instead of resuming stale.
+#: v2 = round 7: Type0/ToUnicode fonts, empty-password decryption,
+#: LZW/ASCII/RunLength/predictor filters, DOCX/PPTX/XLSX/EPUB dispatch.
+extract_pdf_text.__extractor_version__ = 2
+extract_any.__extractor_version__ = 2

@@ -275,12 +275,19 @@ def run_webkg_pipeline(
         "dedup_near": dedup_near,
         # a custom extractor changes the parse output, so its identity
         # must invalidate the parse fingerprint (callables can't be
-        # hashed portably — the qualified name is the resume contract:
-        # same name ⇒ same deterministic bytes->str function)
+        # hashed portably — qualified name PLUS an explicit behavior
+        # version is the resume contract: an extractor whose output
+        # changes under a stable name must bump __extractor_version__,
+        # else old manifests would resume over stale parses; the shipped
+        # extract_any/extract_pdf_text carry one)
         "extractor": (
             None
             if extractor is None
-            else f"{extractor.__module__}.{getattr(extractor, '__qualname__', repr(extractor))}"
+            else (
+                f"{extractor.__module__}."
+                f"{getattr(extractor, '__qualname__', repr(extractor))}"
+                f"@v{getattr(extractor, '__extractor_version__', 0)}"
+            )
         ),
     }
     stages = list(STAGES)

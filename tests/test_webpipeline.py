@@ -402,6 +402,20 @@ def test_pluggable_extractor_slot(spark, pages_path, tmp_path):
     r3 = run_webkg_pipeline(spark, pages_path, out, seed=SEED,
                             extractor=_shout_extractor)
     assert r3["stages"]["parse"]["skipped"]
+    # an extractor whose BEHAVIOR changed under the same name must bump
+    # __extractor_version__ — that alone invalidates the cached parse
+    # (the shipped extract_any carries such a version; without this, a
+    # round-7-style capability change would resume over stale texts)
+    _shout_extractor.__extractor_version__ = 1
+    try:
+        r4 = run_webkg_pipeline(spark, pages_path, out, seed=SEED,
+                                extractor=_shout_extractor)
+        assert not r4["stages"]["parse"]["skipped"]
+        r5 = run_webkg_pipeline(spark, pages_path, out, seed=SEED,
+                                extractor=_shout_extractor)
+        assert r5["stages"]["parse"]["skipped"]
+    finally:
+        del _shout_extractor.__extractor_version__
 
 
 def test_run_kg_cli_extractor_flag(spark, pages_path, tmp_path):
