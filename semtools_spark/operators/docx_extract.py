@@ -39,16 +39,16 @@ _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _DOC_PART = "word/document.xml"
 
 
-def is_docx(data: bytes) -> bool:
-    """ZIP magic + the WordprocessingML main part. Cheap: the central
-    directory is read, no decompression happens."""
-    if not data[:4] == b"PK\x03\x04":
-        return False
-    try:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            return _DOC_PART in zf.namelist()
-    except Exception:
-        return False
+def is_docx(data: bytes, names: "list[str] | None" = None) -> bool:
+    """ZIP magic + the WordprocessingML main part. Cheap: only the
+    central directory is read, no decompression happens — and callers
+    probing several zip formats pass the namelist in so it is read once
+    (see :func:`office_extract._zip_names`)."""
+    if names is None:
+        from semtools_spark.operators.office_extract import _zip_names
+
+        names = _zip_names(data)
+    return names is not None and _DOC_PART in names
 
 
 def extract_docx_text(data: bytes) -> str:

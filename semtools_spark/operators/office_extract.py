@@ -69,13 +69,17 @@ def _zip_names(data: bytes) -> "list[str] | None":
         return None
 
 
-def is_pptx(data: bytes) -> bool:
-    names = _zip_names(data)
+def is_pptx(data: bytes, names: "list[str] | None" = None) -> bool:
+    """``names`` lets dispatchers probe the central directory ONCE and
+    classify against it (same for the other ``is_*`` here and in
+    :mod:`docx_extract`) — per-document zip re-opens add up on the parse
+    hot path at crawl scale."""
+    names = _zip_names(data) if names is None else names
     return names is not None and any(_SLIDE_RE.match(n) for n in names)
 
 
-def is_xlsx(data: bytes) -> bool:
-    names = _zip_names(data)
+def is_xlsx(data: bytes, names: "list[str] | None" = None) -> bool:
+    names = _zip_names(data) if names is None else names
     return names is not None and "xl/workbook.xml" in names
 
 
@@ -211,7 +215,7 @@ _EPUB_BLOCKS = frozenset(
 _EPUB_SKIP = frozenset(("script", "style", "head"))
 
 
-def is_epub(data: bytes) -> bool:
+def is_epub(data: bytes, names: "list[str] | None" = None) -> bool:
     """EPUB's OCF magic: the first entry is an (uncompressed) ``mimetype``
     of ``application/epub+zip`` — checkable straight off the local file
     header, no central directory needed. Falls back to a namelist probe
@@ -220,7 +224,7 @@ def is_epub(data: bytes) -> bool:
         return False
     if data[30:38] == b"mimetype" and b"application/epub+zip" in data[38:100]:
         return True
-    names = _zip_names(data)
+    names = _zip_names(data) if names is None else names
     if names is None or "mimetype" not in names:
         return False
     try:

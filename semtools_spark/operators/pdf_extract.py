@@ -226,7 +226,7 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
         i = m.end()
         try:
             val, i = _parse_value(data, i)
-        except (ValueError, IndexError, AssertionError):
+        except (ValueError, IndexError, AssertionError, OverflowError):
             continue
         stream = None
         i = _skip_ws(data, i)
@@ -268,7 +268,7 @@ def _maybe_decrypt(data: bytes, objects, gens) -> None:
     for m in _TRAILER_RE.finditer(data):
         try:
             val, _ = _parse_value(data, _skip_ws(data, m.end()))
-        except (ValueError, IndexError, AssertionError):
+        except (ValueError, IndexError, AssertionError, OverflowError):
             continue
         if isinstance(val, dict):
             candidates.append(val)
@@ -327,7 +327,7 @@ def _expand_object_streams(objects) -> None:
                 off = int(header[2 * k + 1])
                 oval, _ = _parse_value(dec, first + off)
                 packed.setdefault(onum, oval)
-        except (ValueError, IndexError, AssertionError):
+        except (ValueError, IndexError, AssertionError, OverflowError):
             continue
     for onum, oval in packed.items():
         if onum not in objects:
@@ -404,6 +404,8 @@ def _ascii85_decode(data: bytes) -> bytes | None:
             n = 0
             for g in group:
                 n = n * 85 + g
+            if n >= 1 << 32:  # e.g. b"uuuuu": malformed, not 4 bytes
+                return None
             out += n.to_bytes(4, "big")
             group = []
     if group:  # 2..4 trailing chars encode 1..3 bytes
@@ -414,6 +416,8 @@ def _ascii85_decode(data: bytes) -> bytes | None:
         n = 0
         for g in group:
             n = n * 85 + g
+        if n >= 1 << 32:
+            return None
         out += n.to_bytes(4, "big")[: k - 1]
     return bytes(out)
 
@@ -557,12 +561,16 @@ class _Font:
     ``(byte_len, lo, hi)`` ranges driving variable-width code stepping
     (Identity-H is the uniform 2-byte case)."""
 
-    __slots__ = ("type0", "to_unicode", "codespace")
+    __slots__ = ("type0", "to_unicode", "codespace", "widths", "default_w")
 
     def __init__(self, type0: bool, to_unicode, codespace):
         self.type0 = type0
         self.to_unicode = to_unicode
         self.codespace = codespace or ([(2, 0x0000, 0xFFFF)] if type0 else [(1, 0x00, 0xFF)])
+        # precomputed: decode() runs once per show operand — thousands of
+        # times per page — over immutable codespace state
+        self.widths = sorted({w for w, _lo, _hi in self.codespace})
+        self.default_w = self.widths[0] if self.widths else (2 if type0 else 1)
 
     def decode(self, b: bytes) -> str:
         if self.to_unicode is None:
@@ -572,8 +580,8 @@ class _Font:
             return "" if self.type0 else b.decode("latin-1")
         out: list[str] = []
         i, n = 0, len(b)
-        widths = sorted({w for w, _lo, _hi in self.codespace})
-        default_w = widths[0] if widths else (2 if self.type0 else 1)
+        widths = self.widths
+        default_w = self.default_w
         while i < n:
             step = None
             for w in widths:
@@ -627,7 +635,7 @@ def _parse_tounicode_cmap(dec: bytes):
         if c in b"(<[/" or c in b"+-." or c.isdigit():
             try:
                 v, j = _parse_value(dec, i)
-            except (ValueError, IndexError, AssertionError):
+            except (ValueError, IndexError, AssertionError, OverflowError):
                 i += 1
                 continue
             # remember the hex width: <00> and <0000> parse to the same
@@ -677,9 +685,13 @@ def _parse_tounicode_cmap(dec: bytes):
                         if isinstance(d, bytes) and lo_i + off <= hi_i:
                             to_uni[(w, lo_i + off)] = _utf16be(d)
                 elif isinstance(dst, bytes) and dst:
-                    # spec: increment the LAST code unit of the base
+                    # spec: increment the LAST code unit of the base;
+                    # an increment past the destination width is
+                    # malformed — stop the range there instead of
+                    # overflowing (one bad range must not lose the font)
                     base = int.from_bytes(dst, "big")
-                    for off in range(hi_i - lo_i + 1):
+                    cap = (1 << (8 * len(dst))) - base
+                    for off in range(min(hi_i - lo_i + 1, cap)):
                         to_uni[(w, lo_i + off)] = _utf16be(
                             (base + off).to_bytes(len(dst), "big")
                         )
@@ -718,7 +730,7 @@ def _fonts_of(resources, objects) -> dict[str, _Font]:
                 if dec is not None:
                     try:
                         to_uni, codespace = _parse_tounicode_cmap(dec)
-                    except (ValueError, IndexError, AssertionError):
+                    except (ValueError, IndexError, AssertionError, OverflowError):
                         to_uni = codespace = None
         fonts[name] = _Font(type0, to_uni, codespace)
     return fonts
@@ -816,7 +828,7 @@ def _text_from_content(stream: bytes, fonts: "dict[str, _Font] | None" = None) -
         if c in b"(<[/" or c in b"+-." or c.isdigit():
             try:
                 v, i = _parse_value(stream, i)
-            except (ValueError, IndexError, AssertionError):
+            except (ValueError, IndexError, AssertionError, OverflowError):
                 i += 1
                 continue
             operands.append(v)
@@ -881,6 +893,7 @@ def extract_any(data: bytes) -> str:
     from semtools_spark.operators.docx_extract import extract_docx_text, is_docx
     from semtools_spark.operators.html_extract import extract_main_text
     from semtools_spark.operators.office_extract import (
+        _zip_names,
         extract_epub_text,
         extract_pptx_text,
         extract_xlsx_text,
@@ -891,14 +904,20 @@ def extract_any(data: bytes) -> str:
 
     if is_pdf(data):
         return extract_pdf_text(data)
-    if is_epub(data):  # cheapest zip probe: magic off the first entry
-        return extract_epub_text(data)
-    if is_docx(data):
-        return extract_docx_text(data)
-    if is_pptx(data):
-        return extract_pptx_text(data)
-    if is_xlsx(data):
-        return extract_xlsx_text(data)
+    if data[:4] == b"PK\x03\x04":
+        # one central-directory read classifies every zip format (the
+        # is_* probes each re-reading it would cost 4 extra opens per
+        # document on the parse hot path)
+        names = _zip_names(data)
+        if names is not None:
+            if is_epub(data, names):
+                return extract_epub_text(data)
+            if is_docx(data, names):
+                return extract_docx_text(data)
+            if is_pptx(data, names):
+                return extract_pptx_text(data)
+            if is_xlsx(data, names):
+                return extract_xlsx_text(data)
     return extract_main_text(data)
 
 

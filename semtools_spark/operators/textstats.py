@@ -332,4 +332,10 @@ def profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         & (F.col("top_token_milli") <= DEFAULT_MAX_TOP_TOKEN_MILLI)
         & (F.col("dup_bigram_milli") <= DEFAULT_MAX_DUP_BIGRAM_MILLI)
     )
-    return sig.select("*", keep.cast("int").alias("keep_default"))
+    # NULL text -> NULL signals -> NULL predicate; record 0 (drop), which
+    # is both what filter_training_docs does (filter drops NULL) and what
+    # the DuckDB oracle's CASE WHEN yields — keeps the gate hash-exact on
+    # corpora with null documents
+    return sig.select(
+        "*", F.coalesce(keep.cast("int"), F.lit(0)).alias("keep_default")
+    )

@@ -1154,7 +1154,20 @@ class Workspace:
         generations), so a wsnap still pinning the PRE-bump sequence
         would be expired by the very next data commit. End-of-mutation
         callers pass ``publish=False`` — their own ``_publish_wsnap``
-        immediately follows and pins the bumped sequences anyway."""
+        immediately follows and pins the bumped sequences anyway.
+
+        Consequences of the bump, stated rather than silent: workspace
+        tables keep ONE superseded snapshot per bucket on disk, so (a)
+        reading the parquet ROOT directly (bypassing the pointer) sees
+        duplicate rows — go through ``manifest()``/``lines()`` or
+        :func:`read_snapshot`, as the module docs already require for
+        mid-commit consistency; and (b) deleted document content
+        survives one extra mutation before GC — run
+        :func:`expire_snapshots` (or any further mutation) after a
+        delete when prompt physical removal matters. Cross-table
+        pairing (the wsnap contract) requires the pinned snapshots to
+        outlive the mutation replacing them, so this is not optional
+        per-table; user-RAISED retention is respected."""
         bumped = False
         for _key, attr in self._WSNAP_TABLES:
             path = getattr(self, attr)
@@ -1179,7 +1192,12 @@ class Workspace:
                 return None
             try:
                 return read_snapshot(self.spark, path, seq=seq)
-            except IOError:
+            except Exception:
+                # expired pin. Not just IOError: expire_snapshots deletes
+                # generation dirs BEFORE pointer files, so a reader in
+                # that window resolves the pointer but the leaf scan
+                # raises AnalysisException (PATH_NOT_FOUND) — either way
+                # the designed degrade is the table's current pointer
                 pass
         if not hfs.exists(self.spark, path):
             return None

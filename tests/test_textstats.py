@@ -140,3 +140,18 @@ def test_repetition_signals_match_duckdb_on_crafted_docs(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_keep_default_is_zero_not_null_for_null_text(spark):
+    """Code-review r7: NULL text makes the Spark keep-predicate NULL
+    while the DuckDB oracle's CASE WHEN yields 0 — profile() must record
+    0 (drop), matching both the oracle and filter_training_docs (whose
+    filter drops NULL predicates)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over the lazy dog near a river today")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.keep_default for r in TS.profile(df).collect()}
+    assert rows[1] == 0 and rows[1] is not None
+    kept = {r.doc_id for r in TS.filter_training_docs(df).select("doc_id").collect()}
+    assert 1 not in kept
