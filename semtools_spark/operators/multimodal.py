@@ -3,11 +3,16 @@ metadata — the training-data-pipeline extension for non-text payloads.
 
 The Spark-side plumbing is real and tested: schemas, Arrow-batched UDF
 signatures (``mapInPandas`` over binary columns), partition behavior, and
-the explode pattern for frame sampling. The *codec* step is stubbed: the
-sandbox ships no image/audio libraries, so ``decode_image_meta`` tries
-PIL and otherwise derives deterministic fake dimensions from the byte
-content (clearly marked below). Swapping in a real decoder changes ONE
-inner function, none of the Spark plumbing.
+the explode pattern for frame sampling. The codec step: **PNG decodes
+for real** (r8 — stdlib zlib + filter reconstruction,
+:mod:`png_decode`; metadata comes from IHDR without touching pixels,
+and :func:`image_pixels` materializes full RGB(A) rows). JPEG and other
+entropy-coded formats remain STUBBED: the sandbox ships no codec
+libraries and their decoders are not reproducible with stdlib alone —
+``decode_image_meta`` tries PIL and otherwise derives deterministic
+fake dimensions from the byte content (clearly marked below). Swapping
+in a real decoder changes ONE inner function, none of the Spark
+plumbing.
 
 Scale notes: binary payloads ride the same partitions as their keys (no
 shuffle introduced here); metadata extraction is map-only; frame sampling
@@ -41,10 +46,18 @@ except Exception:
 
 
 def _decode_one(b: bytes) -> tuple[int, int, int, str]:
-    """STUB DECODER. With PIL installed this opens the image; without it
-    (this container) it derives deterministic fake dimensions from the
-    byte length — the Spark plumbing around it is identical either way."""
+    """PNG: REAL header decode (:func:`png_decode.png_meta` — IHDR gives
+    dimensions without decompressing pixels). Other formats: STUB — with
+    PIL installed this opens the image; without it (this container) it
+    derives deterministic fake dimensions from the byte length. The
+    Spark plumbing around it is identical either way."""
+    from semtools_spark.operators.png_decode import png_meta
+
     n = len(b)
+    meta = png_meta(b)
+    if meta is not None:
+        w, h, _depth, _ctype = meta
+        return n, w, h, "png"
     if _HAVE_PIL:  # pragma: no cover
         import io
 
@@ -82,6 +95,53 @@ def decode_image_meta(
             )
 
     return df.withColumn(out_col, _meta(F.col(binary_col)))
+
+
+IMAGE_PIXELS_SCHEMA_FIELDS = [
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("pixels", T.BinaryType(), True),
+]
+
+
+def image_pixels(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """binary → (*id_cols, width, height, channels, pixels): REAL pixel
+    decode for PNGs (:func:`png_decode.decode_png` — zlib inflate +
+    filter reconstruction, palette expanded to RGB); non-PNG rows yield
+    NULLs (the honest degrade — no codecs for JPEG etc. in stdlib).
+    ``mapInPandas`` so undecodable payloads cost nothing downstream and
+    the (potentially large) pixel buffers stream through Arrow batches
+    instead of accumulating per-task."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + IMAGE_PIXELS_SCHEMA_FIELDS
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from semtools_spark.operators.png_decode import decode_png
+
+        for b in batches:
+            rows = []
+            for p in b[binary_col]:
+                dec = decode_png(bytes(p)) if p is not None else None
+                rows.append(
+                    (None, None, None, None) if dec is None else dec
+                )
+            out = {c: b[c] for c in id_cols}
+            out["width"] = pd.array(
+                [r[0] for r in rows], dtype="Int32"
+            )
+            out["height"] = pd.array([r[1] for r in rows], dtype="Int32")
+            out["channels"] = pd.array([r[2] for r in rows], dtype="Int32")
+            out["pixels"] = pd.Series([r[3] for r in rows], dtype=object)
+            yield pd.DataFrame(out)
+
+    cols = list(id_cols) + [binary_col]
+    return df.select(*cols).mapInPandas(_decode, schema=out_schema)
 
 
 def frame_sample(

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from functools import lru_cache
 
 __all__ = ["rc4", "aes_cbc_decrypt", "aes_cbc_encrypt", "StandardDecryptor"]
 
@@ -77,6 +78,10 @@ def _gmul(a: int, b: int) -> int:
     return _EXP[_LOG[a] + _LOG[b]]
 
 
+def _ror32(x: int, n: int) -> int:
+    return ((x >> n) | (x << (32 - n))) & 0xFFFFFFFF
+
+
 def _rotl8(x: int, n: int) -> int:
     return ((x << n) | (x >> (8 - n))) & 0xFF
 
@@ -98,106 +103,154 @@ for _i in range(1, 11):
     _x = _gmul(_x, 2)
 
 
-def _expand_key(key: bytes) -> list[list[int]]:
-    """Round keys as a list of 4-byte words."""
+# T-tables (Rijndael's word-level fusion of SubBytes + ShiftRows +
+# MixColumns — the structure FIPS-197 §5.2 describes and every fast
+# software AES uses): one 32-bit lookup replaces ~36 byte-level GF
+# multiplications per state byte, ~6× over the r7 byte-wise rounds in
+# CPython. Derived at import from the same computed S-box — still no
+# pasted magic tables.
+_TE0 = [0] * 256
+_TE1 = [0] * 256
+_TE2 = [0] * 256
+_TE3 = [0] * 256
+_TD0 = [0] * 256
+_TD1 = [0] * 256
+_TD2 = [0] * 256
+_TD3 = [0] * 256
+for _i in range(256):
+    _s = _SBOX[_i]
+    _t = (_gmul(_s, 2) << 24) | (_s << 16) | (_s << 8) | _gmul(_s, 3)
+    _TE0[_i], _TE1[_i] = _t, _ror32(_t, 8)
+    _TE2[_i], _TE3[_i] = _ror32(_t, 16), _ror32(_t, 24)
+    _v = _INV_SBOX[_i]
+    _u = (
+        (_gmul(_v, 14) << 24) | (_gmul(_v, 9) << 16)
+        | (_gmul(_v, 13) << 8) | _gmul(_v, 11)
+    )
+    _TD0[_i], _TD1[_i] = _u, _ror32(_u, 8)
+    _TD2[_i], _TD3[_i] = _ror32(_u, 16), _ror32(_u, 24)
+
+
+def _sub_word(t: int) -> int:
+    return (
+        (_SBOX[t >> 24] << 24) | (_SBOX[(t >> 16) & 0xFF] << 16)
+        | (_SBOX[(t >> 8) & 0xFF] << 8) | _SBOX[t & 0xFF]
+    )
+
+
+@lru_cache(maxsize=256)
+def _enc_schedule(key: bytes) -> "tuple[tuple[int, ...], int]":
+    """Encryption round keys as big-endian 32-bit words (one per state
+    column), plus the round count. Cached: AES-128 per-object keys repeat
+    across a document's strings, AES-256 uses ONE file key throughout."""
     nk = len(key) // 4
     nr = nk + 6
-    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    w = [int.from_bytes(key[4 * i : 4 * i + 4], "big") for i in range(nk)]
     for i in range(nk, 4 * (nr + 1)):
-        t = list(words[i - 1])
+        t = w[i - 1]
         if i % nk == 0:
-            t = t[1:] + t[:1]
-            t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // nk]
+            t = _sub_word(_ror32(t, 24)) ^ (_RCON[i // nk] << 24)
         elif nk > 6 and i % nk == 4:
-            t = [_SBOX[b] for b in t]
-        words.append([a ^ b for a, b in zip(words[i - nk], t)])
-    return words
+            t = _sub_word(t)
+        w.append(w[i - nk] ^ t)
+    return tuple(w), nr
 
 
-def _add_round_key(st: list[int], words: list[list[int]], rnd: int) -> None:
-    for c in range(4):
-        w = words[4 * rnd + c]
-        for r in range(4):
-            st[4 * c + r] ^= w[r]
+@lru_cache(maxsize=256)
+def _dec_schedule(key: bytes) -> "tuple[tuple[int, ...], int]":
+    """Equivalent-inverse-cipher round keys (FIPS-197 §5.3.5): the
+    encryption schedule reversed by round, with InvMixColumns applied to
+    the interior rounds so decryption runs the same T-table loop shape."""
+    w, nr = _enc_schedule(key)
+    dk = [0] * len(w)
+    for r in range(nr + 1):
+        dk[4 * r : 4 * r + 4] = w[4 * (nr - r) : 4 * (nr - r) + 4]
+    for i in range(4, 4 * nr):
+        x = dk[i]
+        # InvMixColumns(x) via Td∘S: Td0[S[b]] is IMC's column for byte b
+        dk[i] = (
+            _TD0[_SBOX[x >> 24]] ^ _TD1[_SBOX[(x >> 16) & 0xFF]]
+            ^ _TD2[_SBOX[(x >> 8) & 0xFF]] ^ _TD3[_SBOX[x & 0xFF]]
+        )
+    return tuple(dk), nr
 
 
-def _encrypt_block(block: bytes, words: list[list[int]]) -> bytes:
-    nr = len(words) // 4 - 1
-    st = list(block)  # column-major: st[4*c + r]
-    _add_round_key(st, words, 0)
-    for rnd in range(1, nr + 1):
-        st = [_SBOX[b] for b in st]
-        # ShiftRows: row r rotates left by r (column-major indexing)
-        st = [st[(4 * (c + r) + r) % 16] for c in range(4) for r in range(4)]
-        if rnd < nr:
-            ns = list(st)
-            for c in range(4):
-                a = st[4 * c : 4 * c + 4]
-                ns[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
-                ns[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
-                ns[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
-                ns[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
-            st = ns
-        _add_round_key(st, words, rnd)
-    return bytes(st)
+def _encrypt_block_w(block: bytes, w, nr: int) -> bytes:
+    s0 = int.from_bytes(block[0:4], "big") ^ w[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ w[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ w[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ w[3]
+    e0, e1, e2, e3 = _TE0, _TE1, _TE2, _TE3
+    for r in range(1, nr):
+        k = 4 * r
+        t0 = e0[s0 >> 24] ^ e1[(s1 >> 16) & 255] ^ e2[(s2 >> 8) & 255] ^ e3[s3 & 255] ^ w[k]
+        t1 = e0[s1 >> 24] ^ e1[(s2 >> 16) & 255] ^ e2[(s3 >> 8) & 255] ^ e3[s0 & 255] ^ w[k + 1]
+        t2 = e0[s2 >> 24] ^ e1[(s3 >> 16) & 255] ^ e2[(s0 >> 8) & 255] ^ e3[s1 & 255] ^ w[k + 2]
+        t3 = e0[s3 >> 24] ^ e1[(s0 >> 16) & 255] ^ e2[(s1 >> 8) & 255] ^ e3[s2 & 255] ^ w[k + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = 4 * nr
+    sb = _SBOX
+    o0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 255] << 16) | (sb[(s2 >> 8) & 255] << 8) | sb[s3 & 255]) ^ w[k]
+    o1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 255] << 16) | (sb[(s3 >> 8) & 255] << 8) | sb[s0 & 255]) ^ w[k + 1]
+    o2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 255] << 16) | (sb[(s0 >> 8) & 255] << 8) | sb[s1 & 255]) ^ w[k + 2]
+    o3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 255] << 16) | (sb[(s1 >> 8) & 255] << 8) | sb[s2 & 255]) ^ w[k + 3]
+    return ((o0 << 96) | (o1 << 64) | (o2 << 32) | o3).to_bytes(16, "big")
 
 
-def _decrypt_block(block: bytes, words: list[list[int]]) -> bytes:
-    nr = len(words) // 4 - 1
-    st = list(block)
-    _add_round_key(st, words, nr)
-    for rnd in range(nr - 1, -1, -1):
-        # InvShiftRows: row r rotates right by r
-        st = [st[(4 * (c - r) + r) % 16] for c in range(4) for r in range(4)]
-        st = [_INV_SBOX[b] for b in st]
-        _add_round_key(st, words, rnd)
-        if rnd > 0:
-            ns = list(st)
-            for c in range(4):
-                a = st[4 * c : 4 * c + 4]
-                ns[4 * c + 0] = (
-                    _gmul(a[0], 14) ^ _gmul(a[1], 11) ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
-                )
-                ns[4 * c + 1] = (
-                    _gmul(a[0], 9) ^ _gmul(a[1], 14) ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
-                )
-                ns[4 * c + 2] = (
-                    _gmul(a[0], 13) ^ _gmul(a[1], 9) ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
-                )
-                ns[4 * c + 3] = (
-                    _gmul(a[0], 11) ^ _gmul(a[1], 13) ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
-                )
-            st = ns
-    return bytes(st)
+def _decrypt_block_w(block: bytes, dk, nr: int) -> bytes:
+    s0 = int.from_bytes(block[0:4], "big") ^ dk[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ dk[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ dk[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ dk[3]
+    d0, d1, d2, d3 = _TD0, _TD1, _TD2, _TD3
+    for r in range(1, nr):
+        k = 4 * r
+        t0 = d0[s0 >> 24] ^ d1[(s3 >> 16) & 255] ^ d2[(s2 >> 8) & 255] ^ d3[s1 & 255] ^ dk[k]
+        t1 = d0[s1 >> 24] ^ d1[(s0 >> 16) & 255] ^ d2[(s3 >> 8) & 255] ^ d3[s2 & 255] ^ dk[k + 1]
+        t2 = d0[s2 >> 24] ^ d1[(s1 >> 16) & 255] ^ d2[(s0 >> 8) & 255] ^ d3[s3 & 255] ^ dk[k + 2]
+        t3 = d0[s3 >> 24] ^ d1[(s2 >> 16) & 255] ^ d2[(s1 >> 8) & 255] ^ d3[s0 & 255] ^ dk[k + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = 4 * nr
+    ib = _INV_SBOX
+    o0 = ((ib[s0 >> 24] << 24) | (ib[(s3 >> 16) & 255] << 16) | (ib[(s2 >> 8) & 255] << 8) | ib[s1 & 255]) ^ dk[k]
+    o1 = ((ib[s1 >> 24] << 24) | (ib[(s0 >> 16) & 255] << 16) | (ib[(s3 >> 8) & 255] << 8) | ib[s2 & 255]) ^ dk[k + 1]
+    o2 = ((ib[s2 >> 24] << 24) | (ib[(s1 >> 16) & 255] << 16) | (ib[(s0 >> 8) & 255] << 8) | ib[s3 & 255]) ^ dk[k + 2]
+    o3 = ((ib[s3 >> 24] << 24) | (ib[(s2 >> 16) & 255] << 16) | (ib[(s1 >> 8) & 255] << 8) | ib[s0 & 255]) ^ dk[k + 3]
+    return ((o0 << 96) | (o1 << 64) | (o2 << 32) | o3).to_bytes(16, "big")
 
 
 def aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
-    return _encrypt_block(block, _expand_key(key))
+    w, nr = _enc_schedule(key)
+    return _encrypt_block_w(block, w, nr)
 
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC over already-aligned data (no padding added)."""
-    words = _expand_key(key)
-    out = bytearray()
+    w, nr = _enc_schedule(key)
+    out = bytearray(len(data))
     prev = iv
     for i in range(0, len(data), 16):
-        blk = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(blk, words)
-        out += prev
+        blk = int.from_bytes(data[i : i + 16], "big") ^ int.from_bytes(prev, "big")
+        prev = _encrypt_block_w(blk.to_bytes(16, "big"), w, nr)
+        out[i : i + 16] = prev
     return bytes(out)
 
 
 def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """CBC decrypt of aligned data (no unpadding — caller strips)."""
-    words = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = data[i : i + 16]
-        out += bytes(x ^ y for x, y in zip(_decrypt_block(blk, words), prev))
-        prev = blk
-    return bytes(out)
+    """CBC decrypt of aligned data (no unpadding — caller strips).
+    Blocks are ECB-decrypted, then the chain XOR (prev ciphertext block)
+    is applied in ONE whole-buffer big-int XOR — CPython does that at
+    memcpy-like speed, so the per-block Python work is the cipher only."""
+    n = len(data)
+    if n == 0:
+        return b""
+    dk, nr = _dec_schedule(key)
+    out = bytearray(n)
+    for i in range(0, n, 16):
+        out[i : i + 16] = _decrypt_block_w(data[i : i + 16], dk, nr)
+    chain = iv + data[:-16]
+    x = int.from_bytes(bytes(out), "big") ^ int.from_bytes(chain, "big")
+    return x.to_bytes(n, "big")
 
 
 # ---- Standard security handler ------------------------------------------
@@ -230,14 +283,31 @@ def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
+#: per-document decrypted-bytes budget. Pure-Python ciphers run ~1-5
+#: MB/s/core even with T-tables, so one encrypted 500 MB PDF would stall
+#: its partition for minutes; past this budget remaining streams decrypt
+#: to b"" (→ skipped downstream, the standard degrade) and the decryptor
+#: flags ``truncated`` — the document extracts PARTIALLY rather than
+#: starving the executor. 64 MiB ≈ tens of seconds worst-case, far above
+#: any normal document's text+font streams.
+DEFAULT_DECRYPT_BUDGET = 64 * 1024 * 1024
+
+
 class StandardDecryptor:
     """Per-object decryptor for one document. Construct via
     :meth:`from_encrypt`; ``None`` return = unsupported handler (callers
-    then leave the document alone, matching the documented degrade)."""
+    then leave the document alone, matching the documented degrade).
+    ``truncated`` turns True once the decrypt budget is exhausted (see
+    :data:`DEFAULT_DECRYPT_BUDGET`)."""
 
-    def __init__(self, cfm: str, file_key: bytes):
+    def __init__(self, cfm: str, file_key: bytes,
+                 budget: "int | None" = None):
         self.cfm = cfm  # "V2" (RC4) | "AESV2" | "AESV3"
         self.file_key = file_key
+        # resolved at call time so deployments (and tests) can tune the
+        # module-level default for their partition-time tolerance
+        self.remaining = DEFAULT_DECRYPT_BUDGET if budget is None else budget
+        self.truncated = False
 
     @classmethod
     def from_encrypt(cls, enc: dict, id0: bytes) -> "StandardDecryptor | None":
@@ -251,6 +321,7 @@ class StandardDecryptor:
             return None
         if r in (2, 3) or (r == 4 and v == 4):
             cfm = "V2"
+            cfd = None
             if r == 4:
                 cf = enc.get("CF")
                 stmf = enc.get("StmF", "Identity")
@@ -263,6 +334,13 @@ class StandardDecryptor:
                 elif m != "V2":
                     return None
             nbytes = (enc.get("Length") or 40) // 8 if r >= 3 else 5
+            if isinstance(cfd, dict):
+                # the crypt filter's own /Length overrides the top-level
+                # one; the spec says bytes there, but many writers put
+                # bits — values > 32 can only be bits, so divide those
+                cl = cfd.get("Length")
+                if isinstance(cl, int) and cl > 0:
+                    nbytes = cl if cl <= 32 else cl // 8
             h = hashlib.md5()
             h.update(PAD)  # empty user password -> pad alone
             h.update(o[:32])
@@ -300,6 +378,10 @@ class StandardDecryptor:
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
         if self.cfm == "Identity" or not data:
             return data
+        if len(data) > self.remaining:
+            self.truncated = True
+            return b""  # over budget: skipped downstream, never stalls
+        self.remaining -= len(data)
         key = self._object_key(num, gen)
         if self.cfm == "V2":
             return rc4(key, data)

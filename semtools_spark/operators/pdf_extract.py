@@ -212,15 +212,32 @@ _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_HEAD_RE = re.compile(rb"stream(\r\n|\n|\r)")
 
 
+def _strip_one_eol(b: bytes) -> bytes:
+    """Strip at most ONE end-of-line sequence (the spec's pre-endstream
+    EOL, §7.3.8.1) — never rstrip all CR/LF: trailing 0x0d/0x0a can be
+    live cipher/flate bytes, and eating them breaks AES's %16 check."""
+    if b.endswith(b"\r\n"):
+        return b[:-2]
+    if b.endswith((b"\r", b"\n")):
+        return b[:-1]
+    return b
+
+
 def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
     """All ``N G obj`` bodies by scanning (xref-independent — also how
     viewers repair PDFs with broken tables): {num: (value, stream|None)}.
-    Stream extent comes from /Length when it is a direct integer, else
-    the next ``endstream`` marker. Encrypted documents (empty user
-    password, Standard handler — see :mod:`pdf_crypt`) have their stream
-    bytes decrypted in place before object streams are expanded."""
+    Stream extent comes from /Length — direct integer, or an indirect
+    reference resolved after the scan (all object values are in hand by
+    then) — validated against the ``endstream`` marker; when neither
+    resolves, the next ``endstream`` marker with at most one EOL stripped
+    (a forward reference to a length object that never parses).
+    Encrypted documents (empty user password, Standard handler — see
+    :mod:`pdf_crypt`) have their stream bytes decrypted in place before
+    object streams are expanded."""
     objects: dict[int, tuple[object, bytes | None]] = {}
     gens: dict[int, int] = {}
+    positions: dict[int, int] = {}
+    pending: list[tuple[int, object, int]] = []  # (num, val, stream_start)
     for m in _OBJ_HEAD_RE.finditer(data):
         num = int(m.group(1))
         i = m.end()
@@ -228,27 +245,33 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
             val, i = _parse_value(data, i)
         except (ValueError, IndexError, AssertionError, OverflowError):
             continue
-        stream = None
         i = _skip_ws(data, i)
         sm = _STREAM_HEAD_RE.match(data, i)
         if sm is not None:
-            start = sm.end()
-            length = val.get("Length") if isinstance(val, dict) else None
-            if isinstance(length, int) and (
-                data[start + length : start + length + 11].lstrip(b"\r\n")[:9]
-                == b"endstream"
-            ):
-                # exact /Length extent: keep every byte — trailing
-                # 0x0d/0x0a here can be live cipher/flate data
-                stream = data[start : start + length]
-            else:
-                end = data.find(b"endstream", start)
-                if end < 0:
-                    continue
-                stream = data[start:end].rstrip(b"\r\n")
-        objects[num] = (val, stream)
+            pending.append((num, val, sm.end()))
+        objects[num] = (val, None)
         gens[num] = int(m.group(2))
-    _maybe_decrypt(data, objects, gens)
+        positions[num] = m.start()
+    # second pass: slice stream extents now that indirect /Length targets
+    # are all parsed
+    for num, val, start in pending:
+        length = _resolve(
+            val.get("Length") if isinstance(val, dict) else None, objects
+        )
+        stream = None
+        if isinstance(length, int) and 0 <= length <= len(data) - start and (
+            data[start + length : start + length + 11].lstrip(b"\r\n")[:9]
+            == b"endstream"
+        ):
+            # exact /Length extent: keep every byte
+            stream = data[start : start + length]
+        else:
+            end = data.find(b"endstream", start)
+            if end < 0:
+                continue  # truncated: keep the dict, no stream
+            stream = _strip_one_eol(data[start:end])
+        objects[num] = (val, stream)
+    _maybe_decrypt(data, objects, gens, positions)
     _expand_object_streams(objects)
     return objects
 
@@ -256,28 +279,35 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
 _TRAILER_RE = re.compile(rb"trailer\b")
 
 
-def _maybe_decrypt(data: bytes, objects, gens) -> None:
+def _maybe_decrypt(data: bytes, objects, gens, positions=None) -> None:
     """If the document carries a Standard-handler /Encrypt dictionary
     (found in a ``trailer`` dict or an xref-stream dict), decrypt every
-    top-level stream in place with the empty-user-password key. Anything
-    unsupported (real password required, public-key handler) leaves the
-    document untouched — downstream decode then skips those streams,
-    the same degrade path as an unsupported filter."""
+    top-level stream in place with the empty-user-password key. In an
+    incrementally-updated PDF the LAST trailer/xref dict in file order is
+    the authoritative revision (§7.5.6), so candidates are scanned newest
+    first and /Encrypt and /ID are taken TOGETHER from the same dict —
+    an update that changed the encryption parameters wins over the
+    original's. Anything unsupported (real password required, public-key
+    handler) leaves the document untouched — downstream decode then
+    skips those streams, the same degrade path as an unsupported
+    filter."""
     enc_ref = id0 = None
-    candidates: list[dict] = []
+    candidates: list[tuple[int, dict]] = []  # (file_pos, dict)
     for m in _TRAILER_RE.finditer(data):
         try:
             val, _ = _parse_value(data, _skip_ws(data, m.end()))
         except (ValueError, IndexError, AssertionError, OverflowError):
             continue
         if isinstance(val, dict):
-            candidates.append(val)
+            candidates.append((m.start(), val))
+    positions = positions or {}
     candidates.extend(
-        val
-        for _num, (val, _s) in sorted(objects.items())
+        (positions.get(num, -1), val)
+        for num, (val, _s) in objects.items()
         if isinstance(val, dict) and val.get("Type") == "XRef"
     )
-    for t in candidates:
+    candidates.sort(key=lambda c: c[0], reverse=True)
+    for _pos, t in candidates:
         if "Encrypt" in t:
             enc_ref = t["Encrypt"]
             ids = t.get("ID")
@@ -885,13 +915,22 @@ def extract_pdf_text(data: bytes) -> str:
 def extract_any(data: bytes) -> str:
     """Format-dispatching extractor for mixed crawl corpora: PDF magic →
     :func:`extract_pdf_text`; ZIP containing WordprocessingML /
-    PresentationML / SpreadsheetML → the matching Office extractor
-    (:mod:`docx_extract`, :mod:`office_extract`); anything else → the
+    PresentationML / SpreadsheetML / EPUB / OpenDocument → the matching
+    extractor (:mod:`docx_extract`, :mod:`office_extract`,
+    :mod:`odf_extract`); ``{\\rtf`` → :mod:`rtf_extract`; OLE2 magic →
+    the binary Word extractor (:mod:`doc_extract`); anything else → the
     real-HTML main-content extractor. Still one deterministic
     ``bytes -> str`` function, so it drops into
     ``parse_pages(extractor=...)`` unchanged."""
+    from semtools_spark.operators.doc_extract import extract_doc_text, is_ole2
     from semtools_spark.operators.docx_extract import extract_docx_text, is_docx
     from semtools_spark.operators.html_extract import extract_main_text
+    from semtools_spark.operators.odf_extract import (
+        extract_odp_text,
+        extract_ods_text,
+        extract_odt_text,
+        odf_kind,
+    )
     from semtools_spark.operators.office_extract import (
         _zip_names,
         extract_epub_text,
@@ -901,15 +940,27 @@ def extract_any(data: bytes) -> str:
         is_pptx,
         is_xlsx,
     )
+    from semtools_spark.operators.rtf_extract import extract_rtf_text, is_rtf
 
     if is_pdf(data):
         return extract_pdf_text(data)
+    if is_rtf(data):
+        return extract_rtf_text(data)
+    if is_ole2(data):
+        return extract_doc_text(data)
     if data[:4] == b"PK\x03\x04":
         # one central-directory read classifies every zip format (the
-        # is_* probes each re-reading it would cost 4 extra opens per
+        # is_* probes each re-reading it would cost extra opens per
         # document on the parse hot path)
         names = _zip_names(data)
         if names is not None:
+            kind = odf_kind(data, names)
+            if kind == "odt":
+                return extract_odt_text(data)
+            if kind == "odp":
+                return extract_odp_text(data)
+            if kind == "ods":
+                return extract_ods_text(data)
             if is_epub(data, names):
                 return extract_epub_text(data)
             if is_docx(data, names):
@@ -926,5 +977,8 @@ def extract_any(data: bytes) -> str:
 #: cached parses from older code re-run instead of resuming stale.
 #: v2 = round 7: Type0/ToUnicode fonts, empty-password decryption,
 #: LZW/ASCII/RunLength/predictor filters, DOCX/PPTX/XLSX/EPUB dispatch.
-extract_pdf_text.__extractor_version__ = 2
-extract_any.__extractor_version__ = 2
+#: v3 = round 8: ODT/ODP/ODS, RTF, binary .doc dispatch; newest-trailer
+#: /Encrypt selection; indirect /Length + single-EOL stream extents;
+#: decrypt budget (over-budget encrypted docs extract partially).
+extract_pdf_text.__extractor_version__ = 3
+extract_any.__extractor_version__ = 3

@@ -234,16 +234,27 @@ def _read_pointer(spark: SparkSession, table_path: str, seq: int) -> "dict | Non
 
 
 def _gen_pointer(
-    spark: SparkSession, table_path: str
+    spark: SparkSession, table_path: str, _retry: int = 2
 ) -> "tuple[int, str, dict[str, str]] | None":
     """(seq, part_col, {partition_value: gen_dirname}) from the
-    highest-sequence ``_current.<seq>.json``, or None (legacy layout)."""
+    highest-sequence ``_current.<seq>.json``, or None (legacy layout).
+    A listed-then-unreadable newest pointer (swept between the listing
+    and the read) is retried with a fresh listing, BOUNDED to two
+    attempts — a persistently unreadable file (permissions blip,
+    eventually-consistent store) then degrades to the next-newest
+    readable snapshot rather than recursing unboundedly (ADVICE r8)."""
     seqs = _pointer_seqs(spark, table_path)
     if not seqs:
         return None
     cur = _read_pointer(spark, table_path, seqs[-1])
-    if cur is None:  # swept between listing and read: retry once
-        return _gen_pointer(spark, table_path)
+    if cur is None:
+        if _retry > 0:  # swept between listing and read: re-list
+            return _gen_pointer(spark, table_path, _retry - 1)
+        for s in reversed(seqs[:-1]):  # degrade: next-newest readable
+            cur = _read_pointer(spark, table_path, s)
+            if cur is not None:
+                return s, cur["part_col"], dict(cur["gens"])
+        return None
     return seqs[-1], cur["part_col"], dict(cur["gens"])
 
 
@@ -296,7 +307,13 @@ def set_snapshot_retention(
     module) — a RAW ``spark.read.parquet(root)`` would see one row-copy
     per retained generation; that trade is why 0 stays the default.
     Dropping retention back to 0 takes effect at the next mutation (or an
-    explicit :func:`expire_snapshots`)."""
+    explicit :func:`expire_snapshots`).
+
+    Concurrency contract (ADVICE r8): run as THE single writer (under
+    the workspace lease, or standalone). Racing a concurrent commit is
+    fail-safe — both would publish pointer ``seq+1`` and the loser's
+    atomic rename ABORTS (raises) rather than corrupting — but the
+    retry belongs under the lease."""
     if retain < 0:
         raise ValueError(f"retain must be >= 0, got {retain}")
     ptr = _gen_pointer(spark, table_path)
@@ -320,7 +337,17 @@ def expire_snapshots(
     work — only buckets the EXPIRED pointers mention are listed, so the
     cost is O(buckets touched across expired snapshots), never a full
     table walk. Returns the number of generation directories removed.
-    The Iceberg ``expireSnapshots`` analog."""
+    The Iceberg ``expireSnapshots`` analog.
+
+    Concurrency contract (ADVICE r8): like every mutation here, this
+    must run as THE single writer — under the workspace writer lease, or
+    standalone when no concurrent writer exists. Two concurrent expires
+    (or an expire racing a commit's GC) could both list a retained
+    pointer and then see it deleted; rather than silently dropping that
+    snapshot's generations from ``keep`` (which would delete data a
+    retained — possibly current — snapshot still references), an
+    unreadable RETAINED pointer aborts the expire (returns 0). The next
+    expire, under the lease, runs clean."""
     seqs = _pointer_seqs(spark, table_path)
     if not seqs:
         return 0
@@ -335,7 +362,11 @@ def expire_snapshots(
     for s in retained:
         doc = _read_pointer(spark, table_path, s)
         if doc is None:
-            continue
+            # a retained pointer that cannot be read means another
+            # writer is mutating/expiring concurrently — deleting
+            # anything now could collect generations that snapshot
+            # still references (data loss). Abort; retry under the lease.
+            return 0
         part_col = doc["part_col"]
         for val, gen in doc["gens"].items():
             keep.setdefault(val, set()).add(gen)
@@ -1102,7 +1133,7 @@ class Workspace:
                 continue
         return sorted(seqs)
 
-    def _wsnap(self) -> "tuple[int, dict] | None":
+    def _wsnap(self, _retry: int = 2) -> "tuple[int, dict] | None":
         import json
 
         seqs = self._wsnap_seqs()
@@ -1111,8 +1142,16 @@ class Workspace:
         text = hfs.read_text(
             self.spark, f"{self.root}/{self.WSNAP_PREFIX}{seqs[-1]}.json"
         )
-        if text is None:  # pruned between list and read: retry once
-            return self._wsnap()
+        if text is None:
+            if _retry > 0:  # pruned between list and read: re-list
+                return self._wsnap(_retry - 1)
+            for s in reversed(seqs[:-1]):  # degrade: next-newest readable
+                text = hfs.read_text(
+                    self.spark, f"{self.root}/{self.WSNAP_PREFIX}{s}.json"
+                )
+                if text is not None:
+                    return s, json.loads(text)
+            return None  # no readable wsnap: callers fall back per-table
         return seqs[-1], json.loads(text)
 
     def _publish_wsnap(self) -> None:

@@ -23,6 +23,10 @@ _MAGICS = [
     b"%PDF-1.7\n",
     b"PK\x03\x04",
     b"PK\x03\x04" + b"\x00" * 26 + b"mimetypeapplication/epub+zip",
+    b"PK\x03\x04" + b"\x00" * 26
+    + b"mimetypeapplication/vnd.oasis.opendocument.text",
+    b"{\\rtf1\\ansi ",
+    b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",  # OLE2 (.doc)
     b"<!DOCTYPE html><html>",
 ]
 
@@ -77,11 +81,17 @@ def _real_documents() -> list[bytes]:
         + b"fuzz seed html paragraph with enough words to be main content. " * 5
         + b"</p></body></html>"
     )
+    # r8 formats, built with the same deterministic fixture builders
+    from test_legacy_extract import _odf, _word_doc
+
+    docs.append(_odf("odt", "<office:text><text:p>fuzz seed odt</text:p></office:text>"))
+    docs.append(b"{\\rtf1\\ansi fuzz seed rtf\\par}")
+    docs.append(_word_doc(["fuzz seed legacy doc"]))
     return docs
 
 
 @given(
-    doc_i=st.integers(min_value=0, max_value=2),
+    doc_i=st.integers(min_value=0, max_value=5),
     mutation=st.one_of(
         # bit flip at an arbitrary offset
         st.tuples(st.just("flip"), st.integers(min_value=0), st.integers(0, 7)),
