@@ -86,12 +86,24 @@ def ingest_available(
             .partitionBy("ingest_batch")
             .parquet(triples_path)
         )
-        # metadata-only counts (parquet footers) — no second data pass
-        n_triples = (
-            batch_df.sparkSession.read.parquet(triples_path)
-            .filter(F.col("ingest_batch") == int(batch_id))
-            .count()
-        )
+        # metadata-only counts (parquet footers) — no second data pass.
+        # Read the just-written partition DIRECTORY, not the whole table
+        # + filter: listing the accumulated table per batch is O(batches)
+        # footers each time — O(batches²) metadata over a long-running
+        # ingest (VERDICT r7 #3). This stays O(this batch) forever.
+        # A batch whose pages yield ZERO triples writes no partition dir
+        # at all (dynamic overwrite of an empty frame) — that's 0, not
+        # an error.
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            n_triples = (
+                batch_df.sparkSession.read.parquet(
+                    f"{triples_path}/ingest_batch={int(batch_id)}"
+                ).count()
+            )
+        except AnalysisException:
+            n_triples = 0
         results.append(
             {"batch_id": int(batch_id), "pages": batch_df.count(), "triples": n_triples}
         )

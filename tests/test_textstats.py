@@ -155,3 +155,26 @@ def test_keep_default_is_zero_not_null_for_null_text(spark):
     assert rows[1] == 0 and rows[1] is not None
     kept = {r.doc_id for r in TS.filter_training_docs(df).select("doc_id").collect()}
     assert 1 not in kept
+
+
+def test_profile_two_projection_plan_property(spark):
+    """VERDICT r7 #2: profile()'s whole point is a PLAN property — each
+    expensive repetition signal is evaluated ONCE per row, with
+    keep_default derived from the computed signal COLUMNS in a separate
+    outer projection. Pin it in the optimized plan: if CollapseProject
+    ever merges the two projects (re-deriving every signal inside the
+    keep predicate, the +33% regression the r7 A/B caught), the signal
+    expressions duplicate and these counts break."""
+    df = spark.createDataFrame(
+        [(1, "some text to profile")], "doc_id long, text string"
+    )
+    plan = TS.profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    # one array_sort (top_token), two aggregate() folds (dup_token's
+    # run-length pass + dup_bigram) — each would double if merged
+    assert plan.count("array_sort") == 1, plan
+    assert plan.count("aggregate(") == 2, plan
+    # the OUTER project (first plan line) computes keep_default from the
+    # named signal columns only — never from the raw text
+    outer = plan.split("\n")[0]
+    assert "keep_default" in outer
+    assert "split(" not in outer and "text#" not in outer
