@@ -189,11 +189,9 @@ def extract_ods_text(data: bytes) -> str:
                     rep = int(cell.get(_TABLE + "number-columns-repeated", "1"))
                 except ValueError:
                     rep = 1
-                rep = max(1, rep)
-                if not txt:
-                    # padding run: cap it — a trailing 16k-empty repeat
-                    # must not emit 16k tabs
-                    rep = min(rep, _REPEAT_CAP)
+                # cap every repeat run — a hostile 500M-repeat cell (empty
+                # OR text-bearing) must not materialize 500M list slots
+                rep = max(1, min(rep, _REPEAT_CAP))
                 cells.extend([txt] * rep)
             line = "\t".join(cells).rstrip("\t")
             if line:

@@ -255,6 +255,11 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
     # second pass: slice stream extents now that indirect /Length targets
     # are all parsed
     for num, val, start in pending:
+        if objects.get(num, (None, None))[0] is not val:
+            # a later revision of this object number won the first pass
+            # (incremental update); slicing a stream for the superseded
+            # body would resurrect stale content
+            continue
         length = _resolve(
             val.get("Length") if isinstance(val, dict) else None, objects
         )

@@ -78,7 +78,11 @@ def decode_png(data: bytes) -> "tuple[int, int, int, bytes] | None":
     if depth != 8 or ctype not in _CHANNELS:
         return None
     channels = _CHANNELS[ctype]
-    if w * h * channels > MAX_PIXEL_BYTES:
+    # budget the OUTPUT size: palette (ctype 3) stores 1 byte/pixel but
+    # expands to RGB (3 bytes/pixel) below — guarding on the stored width
+    # would admit 3x the ceiling plus a 100M+-entry expansion pass
+    out_channels = 3 if ctype == 3 else channels
+    if w * h * out_channels > MAX_PIXEL_BYTES:
         return None
     interlace = data[28] if len(data) > 28 else 1
     if interlace != 0:
@@ -112,10 +116,12 @@ def decode_png(data: bytes) -> "tuple[int, int, int, bytes] | None":
         if len(plte) < 3:
             return None
         npal = len(plte) // 3
-        out = bytearray(w * h * 3)
-        for i, idx in enumerate(recon):
-            if idx >= npal:
-                return None
-            out[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-        return w, h, 3, bytes(out)
+        if max(recon) >= npal:
+            return None
+        # one C-level gather instead of a per-pixel Python loop
+        import numpy as np
+
+        pal = np.frombuffer(plte[: npal * 3], dtype=np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(recon, dtype=np.uint8)
+        return w, h, 3, pal[idx].tobytes()
     return w, h, channels, bytes(recon)

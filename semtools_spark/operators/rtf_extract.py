@@ -49,7 +49,9 @@ _SKIP_DESTS = frozenset(
     )
 )
 
-_CW_RE = re.compile(rb"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\(.)")
+# the control-symbol branch must match \<LF> too (a \par alias on
+# Unix-saved files) — bare "." skips \n, silently gluing paragraphs
+_CW_RE = re.compile(rb"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\([\s\S])")
 
 
 def is_rtf(data: bytes) -> bool:

@@ -94,7 +94,10 @@ def ingest_available(
         # A batch whose pages yield ZERO triples writes no partition dir
         # at all (dynamic overwrite of an empty frame) — that's 0, not
         # an error.
-        from pyspark.errors.exceptions.captured import AnalysisException
+        # the BASE class: the captured.* subclass would miss Spark
+        # Connect's connect.AnalysisException and re-raise the very
+        # PATH_NOT_FOUND this guard exists for
+        from pyspark.errors import AnalysisException
 
         try:
             n_triples = (

@@ -350,3 +350,27 @@ def test_doc_malformed_degrades_empty():
     # truncated container: header only
     doc = _word_doc(["x"])
     assert extract_doc_text(doc[:512]) == ""
+
+
+def test_ods_nonempty_repeat_bomb_capped():
+    """r8 review: number-columns-repeated on a NON-empty cell was uncapped
+    — one hostile cell with rep=500M reached ``[txt] * rep`` and OOMed an
+    executor. Every repeat run is now capped, text-bearing or not."""
+    doc = _odf(
+        "ods",
+        "<office:spreadsheet><table:table><table:table-row>"
+        "<table:table-cell table:number-columns-repeated='500000000'>"
+        "<text:p>x</text:p></table:table-cell>"
+        "</table:table-row></table:table></office:spreadsheet>",
+    )
+    out = extract_ods_text(doc)  # must return promptly, not allocate 500M
+    assert set(out.split("\t")) == {"x"}
+    assert out.count("x") <= 256 + 1
+
+
+def test_rtf_backslash_linefeed_is_par_alias():
+    r"""r8 review: the control-symbol regex branch used ``.``, which never
+    matches \n — a Unix-saved RTF using backslash-LF as its paragraph
+    mark glued adjacent paragraphs together. Both EOL flavors newline."""
+    assert extract_rtf_text(b"{\\rtf1 first\\\nsecond}") == "first\nsecond"
+    assert extract_rtf_text(b"{\\rtf1 first\\\rsecond}") == "first\nsecond"

@@ -449,3 +449,25 @@ def test_pdf_corpus_pipeline_fingerprint_resume(spark, tmp_path):
     # decode is not meant for binary PDF bytes)
     r3 = run_webkg_pipeline(spark, src, out, extractor=PX.extract_pdf_text)
     assert not r3["stages"]["parse"]["skipped"]
+
+
+def test_incremental_update_supersedes_stream_object():
+    """r8 review: _scan_objects' stream-extent pass iterated every
+    pending (num, val, start) including SUPERSEDED revisions, so an
+    incremental update that redefined an object without a stream was
+    overwritten by the earlier stream-bearing body — stale content
+    resurrected. Last revision in file order must win outright."""
+    data = (
+        b"1 0 obj << /Length 5 >> stream\nhello\nendstream endobj\n"
+        b"1 0 obj << /Replaced true >> endobj\n"
+    )
+    objects = PX._scan_objects(data)
+    val, stream = objects[1]
+    assert val == {"Replaced": True}
+    assert stream is None
+    # and when BOTH revisions carry streams, the newest stream wins
+    data2 = (
+        b"2 0 obj << /Length 3 >> stream\nold\nendstream endobj\n"
+        b"2 0 obj << /Length 3 >> stream\nnew\nendstream endobj\n"
+    )
+    assert PX._scan_objects(data2)[2][1] == b"new"

@@ -155,3 +155,17 @@ def test_image_pixels_operator_known_values(spark):
     assert bytes(got[1].pixels) == b"".join(rows)
     assert got[2].pixels is None and got[2].width is None
     assert got[3].pixels is None
+
+
+def test_palette_budget_counts_expanded_bytes(monkeypatch):
+    """r8 review: the pixel-bomb guard budgeted palette PNGs at their
+    STORED width (1 byte/pixel) although decode expands them to RGB —
+    admitting 3x the ceiling. The guard must count output bytes."""
+    import semtools_spark.operators.png_decode as P
+
+    plte = bytes([9, 8, 7] * 4)
+    mk = lambda w: _png(w, 1, 3, [bytes(range(w)) if w <= 4 else bytes(w)],
+                        [0], plte=plte)
+    monkeypatch.setattr(P, "MAX_PIXEL_BYTES", 12)
+    assert P.decode_png(mk(4)) is not None   # 4*1*3 = 12 <= 12
+    assert P.decode_png(mk(5)) is None       # 5 stored bytes, 15 out > 12
