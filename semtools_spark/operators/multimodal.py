@@ -6,13 +6,15 @@ signatures (``mapInPandas`` over binary columns), partition behavior, and
 the explode pattern for frame sampling. The codec step: **PNG decodes
 for real** (r8 — stdlib zlib + filter reconstruction,
 :mod:`png_decode`; metadata comes from IHDR without touching pixels,
-and :func:`image_pixels` materializes full RGB(A) rows). JPEG and other
-entropy-coded formats remain STUBBED: the sandbox ships no codec
-libraries and their decoders are not reproducible with stdlib alone —
-``decode_image_meta`` tries PIL and otherwise derives deterministic
-fake dimensions from the byte content (clearly marked below). Swapping
-in a real decoder changes ONE inner function, none of the Spark
-plumbing.
+and :func:`image_pixels` materializes full RGB(A) rows), and
+**JPEG/GIF/BMP report real dimensions** from their fixed-layout headers
+(:mod:`image_meta` — no entropy decode needed). PIXEL decode for
+entropy-coded formats (JPEG's DCT+Huffman) remains STUBBED: the sandbox
+ships no codec libraries and those decoders are not reproducible with
+stdlib alone — ``decode_image_meta`` tries PIL for anything else and
+otherwise derives deterministic fake dimensions from the byte content
+(clearly marked below). Swapping in a real decoder changes ONE inner
+function, none of the Spark plumbing.
 
 Scale notes: binary payloads ride the same partitions as their keys (no
 shuffle introduced here); metadata extraction is map-only; frame sampling
@@ -46,11 +48,13 @@ except Exception:
 
 
 def _decode_one(b: bytes) -> tuple[int, int, int, str]:
-    """PNG: REAL header decode (:func:`png_decode.png_meta` — IHDR gives
-    dimensions without decompressing pixels). Other formats: STUB — with
-    PIL installed this opens the image; without it (this container) it
-    derives deterministic fake dimensions from the byte length. The
-    Spark plumbing around it is identical either way."""
+    """PNG/JPEG/GIF/BMP: REAL header decode — PNG via IHDR
+    (:func:`png_decode.png_meta`), the rest via their fixed-layout
+    headers (:mod:`image_meta`); none of these touch pixel data. Other
+    formats: STUB — with PIL installed this opens the image; without it
+    (this container) it derives deterministic fake dimensions from the
+    byte length. The Spark plumbing around it is identical either way."""
+    from semtools_spark.operators.image_meta import sniff_dimensions
     from semtools_spark.operators.png_decode import png_meta
 
     n = len(b)
@@ -58,6 +62,10 @@ def _decode_one(b: bytes) -> tuple[int, int, int, str]:
     if meta is not None:
         w, h, _depth, _ctype = meta
         return n, w, h, "png"
+    sniffed = sniff_dimensions(b)
+    if sniffed is not None:
+        w, h, fmt = sniffed
+        return n, w, h, fmt
     if _HAVE_PIL:  # pragma: no cover
         import io
 

@@ -159,6 +159,31 @@ def parse_pages(pages: DataFrame, extractor=None) -> DataFrame:
     return pass_df.unionByName(parse_df)
 
 
+def images_only_udf():
+    """Arrow-batched ``binary -> boolean``: True for image-only (scanned)
+    PDFs — every page drew pixels, none drew text. See
+    :func:`pdf_extract.pdf_images_only`."""
+    from semtools_spark.operators.pdf_extract import pdf_images_only
+
+    @F.pandas_udf(T.BooleanType())
+    def _flag(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda b: pdf_images_only(bytes(b)) if b is not None else False)
+
+    return _flag
+
+
+def flag_scanned(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add an ``images_only`` boolean column marking scanned (image-only)
+    PDFs, so a pipeline can ROUTE them — to an OCR branch, a quarantine
+    sink, or an honest per-url limitation record — instead of conflating
+    "extracted empty" with "had no content". The reference handles these
+    inside its OCR-capable remote parse (src/parse/client.rs:290-433);
+    with no OCR in scope the flag is the routing seam. Column-append
+    only: no shuffle, schema of every existing column unchanged."""
+    return pages.withColumn("images_only", images_only_udf()(F.col(html_col)))
+
+
 def parse_incremental(
     pages: DataFrame, manifest: DataFrame | None, extractor=None
 ) -> tuple[DataFrame, DataFrame]:

@@ -771,11 +771,31 @@ def _fonts_of(resources, objects) -> dict[str, _Font]:
     return fonts
 
 
-def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font]]]":
-    """``(decoded content, fonts)`` per page in page order (catalog-tree
-    walk; file order as the repair fallback). ``/Resources`` is an
-    inheritable page attribute (ISO 32000-1 §7.7.3.4), so the walk
-    threads the nearest ancestor's down to leaves that lack their own."""
+def _image_xobjects(resources, objects) -> "set[str]":
+    """Resource names under /XObject whose target is /Subtype /Image —
+    the names an ``... Do`` draw in the page's content stream selects."""
+    names: set[str] = set()
+    res = _resolve(resources, objects)
+    if not isinstance(res, dict):
+        return names
+    xdict = _resolve(res.get("XObject"), objects)
+    if not isinstance(xdict, dict):
+        return names
+    for name, xref in xdict.items():
+        num = xref.num if isinstance(xref, _Ref) else None
+        if num is not None and num in objects:
+            xval = objects[num][0]
+            if isinstance(xval, dict) and xval.get("Subtype") == "Image":
+                names.add(name)
+    return names
+
+
+def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font], set]]":
+    """``(decoded content, fonts, image-XObject names)`` per page in page
+    order (catalog-tree walk; file order as the repair fallback).
+    ``/Resources`` is an inheritable page attribute (ISO 32000-1
+    §7.7.3.4), so the walk threads the nearest ancestor's down to leaves
+    that lack their own."""
 
     def content_of(page_dict) -> list[bytes]:
         out = []
@@ -820,9 +840,15 @@ def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font]]]":
             for _num, (val, _s) in sorted(objects.items())
             if isinstance(val, dict) and val.get("Type") == "Page"
         ]
-    out: list[tuple[bytes, dict[str, _Font]]] = []
+    out: list[tuple[bytes, dict[str, _Font], set]] = []
     for p, res in pages:
-        out.append((b"\n".join(content_of(p)), _fonts_of(res, objects)))
+        out.append(
+            (
+                b"\n".join(content_of(p)),
+                _fonts_of(res, objects),
+                _image_xobjects(res, objects),
+            )
+        )
     return out
 
 
@@ -910,11 +936,73 @@ def extract_pdf_text(data: bytes) -> str:
     try:
         objects = _scan_objects(data)
         page_texts = [
-            _text_from_content(s, fonts) for s, fonts in _page_streams(objects)
+            _text_from_content(s, fonts) for s, fonts, _imgs in _page_streams(objects)
         ]
     except Exception:
         return ""
     return "\n\n".join(t for t in page_texts if t)
+
+
+def _draws_image(stream: bytes, image_names: "set[str]") -> bool:
+    """True when the content stream executes an image draw: a ``name Do``
+    whose name resolves to an image XObject, or an inline image
+    (``BI … ID``, ISO 32000-1 §8.9.7)."""
+    operand = None
+    i, n = 0, len(stream)
+    while i < n:
+        i = _skip_ws(stream, i)
+        if i >= n:
+            break
+        c = stream[i : i + 1]
+        if c in b"(<[/" or c in b"+-." or c.isdigit():
+            try:
+                operand, i = _parse_value(stream, i)
+            except (ValueError, IndexError, AssertionError, OverflowError):
+                i += 1
+            continue
+        j = i
+        while j < n and stream[j : j + 1] not in _WS and stream[j : j + 1] not in _DELIM:
+            j += 1
+        op, i = stream[i:j], (j if j > i else i + 1)
+        if op == b"Do" and isinstance(operand, str) and operand in image_names:
+            return True
+        if op == b"BI":
+            return True
+        operand = None
+    return False
+
+
+def pdf_page_flags(data: bytes) -> "list[tuple[bool, bool]]":
+    """Per page in page order: ``(has_text, has_image_draw)``. The
+    scanned-document signature is pages with images and no text — the
+    reference routes such documents through its OCR-capable remote parse
+    (src/parse/client.rs:290-433); this sandbox has no OCR, so the flag
+    is the honest machine-readable limitation marker that lets a pipeline
+    route image-only documents instead of silently storing "" for them.
+    Malformed input degrades to ``[]``, never an exception."""
+    if not is_pdf(data):
+        return []
+    try:
+        objects = _scan_objects(data)
+        return [
+            (bool(_text_from_content(s, fonts)), _draws_image(s, imgs))
+            for s, fonts, imgs in _page_streams(objects)
+        ]
+    except Exception:
+        return []
+
+
+def pdf_images_only(data: bytes) -> bool:
+    """True when the document is a PDF with ≥1 page, NO page yields any
+    text, and ≥1 page draws an image — i.e. extraction returned "" not
+    because the document is empty but because its content is pixels
+    (a scan). Routing predicate for an OCR branch / quarantine sink."""
+    flags = pdf_page_flags(data)
+    return (
+        bool(flags)
+        and not any(has_text for has_text, _ in flags)
+        and any(has_img for _, has_img in flags)
+    )
 
 
 def extract_any(data: bytes) -> str:
