@@ -252,7 +252,15 @@ def _clean(raw: str) -> str:
 def extract_doc_text(data: bytes) -> str:
     """Binary .doc bytes → extracted text, one line per paragraph."""
     try:
-        cfb = _Cfb(data)
+        return _extract_doc_from_cfb(_Cfb(data))
+    except Exception:
+        return ""
+
+
+def _extract_doc_from_cfb(cfb: "_Cfb") -> str:
+    """.doc extraction over an already-parsed CFB container (so the OLE2
+    router in :mod:`ole_extract` walks the FAT once per document)."""
+    try:
         word = cfb.stream("WordDocument")
         if word is None or len(word) < 0x200 or _u16(word, 0) != 0xA5EC:
             return ""

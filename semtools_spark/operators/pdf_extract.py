@@ -1011,11 +1011,12 @@ def extract_any(data: bytes) -> str:
     PresentationML / SpreadsheetML / EPUB / OpenDocument → the matching
     extractor (:mod:`docx_extract`, :mod:`office_extract`,
     :mod:`odf_extract`); ``{\\rtf`` → :mod:`rtf_extract`; OLE2 magic →
-    the binary Word extractor (:mod:`doc_extract`); anything else → the
-    real-HTML main-content extractor. Still one deterministic
+    the one-CFB-parse router over the binary Word/Excel/PowerPoint
+    extractors (:mod:`doc_extract`, :mod:`ole_extract`); anything else →
+    the real-HTML main-content extractor. Still one deterministic
     ``bytes -> str`` function, so it drops into
     ``parse_pages(extractor=...)`` unchanged."""
-    from semtools_spark.operators.doc_extract import extract_doc_text, is_ole2
+    from semtools_spark.operators.doc_extract import is_ole2
     from semtools_spark.operators.docx_extract import extract_docx_text, is_docx
     from semtools_spark.operators.html_extract import extract_main_text
     from semtools_spark.operators.odf_extract import (
@@ -1040,7 +1041,10 @@ def extract_any(data: bytes) -> str:
     if is_rtf(data):
         return extract_rtf_text(data)
     if is_ole2(data):
-        return extract_doc_text(data)
+        # one CFB parse routes .doc / .xls / .ppt by named stream
+        from semtools_spark.operators.ole_extract import extract_ole2_text
+
+        return extract_ole2_text(data)
     if data[:4] == b"PK\x03\x04":
         # one central-directory read classifies every zip format (the
         # is_* probes each re-reading it would cost extra opens per
@@ -1074,4 +1078,6 @@ def extract_any(data: bytes) -> str:
 #: /Encrypt selection; indirect /Length + single-EOL stream extents;
 #: decrypt budget (over-budget encrypted docs extract partially).
 extract_pdf_text.__extractor_version__ = 3
-extract_any.__extractor_version__ = 3
+# v4: OLE2 dispatch grew .xls/.ppt extraction (previously .doc only) —
+# cached parses of spreadsheets/decks under v3 must invalidate
+extract_any.__extractor_version__ = 4

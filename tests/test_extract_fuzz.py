@@ -82,16 +82,18 @@ def _real_documents() -> list[bytes]:
         + b"</p></body></html>"
     )
     # r8 formats, built with the same deterministic fixture builders
-    from test_legacy_extract import _odf, _word_doc
+    from test_legacy_extract import _odf, _ppt_fixture, _word_doc, _xls_fixture
 
     docs.append(_odf("odt", "<office:text><text:p>fuzz seed odt</text:p></office:text>"))
     docs.append(b"{\\rtf1\\ansi fuzz seed rtf\\par}")
     docs.append(_word_doc(["fuzz seed legacy doc"]))
+    docs.append(_xls_fixture())
+    docs.append(_ppt_fixture())
     return docs
 
 
 @given(
-    doc_i=st.integers(min_value=0, max_value=5),
+    doc_i=st.integers(min_value=0, max_value=7),
     mutation=st.one_of(
         # bit flip at an arbitrary offset
         st.tuples(st.just("flip"), st.integers(min_value=0), st.integers(0, 7)),

@@ -374,3 +374,139 @@ def test_rtf_backslash_linefeed_is_par_alias():
     mark glued adjacent paragraphs together. Both EOL flavors newline."""
     assert extract_rtf_text(b"{\\rtf1 first\\\nsecond}") == "first\nsecond"
     assert extract_rtf_text(b"{\\rtf1 first\\\rsecond}") == "first\nsecond"
+
+
+# ---- binary .xls / .ppt (r8: ole_extract) ----------------------------------
+
+from semtools_spark.operators.ole_extract import (  # noqa: E402
+    extract_ole2_text,
+    extract_ppt_text,
+    extract_xls_text,
+)
+
+
+def _biff(rid: int, body: bytes) -> bytes:
+    return struct.pack("<HH", rid, len(body)) + body
+
+
+def _bof(dt: int) -> bytes:
+    return _biff(0x0809, struct.pack("<HH", 0x0600, dt) + bytes(12))
+
+
+def _xls_fixture() -> bytes:
+    """Two sheets; the SST deliberately SPLITS a string across a CONTINUE
+    record (with its re-stated compression flag byte) — the corner that
+    breaks naive SST readers."""
+    # SST: 3 strings — "alpha", "bud|get" (split), "wide" (UTF-16)
+    sst = struct.pack("<II", 3, 3)
+    sst += struct.pack("<HB", 5, 0) + b"alpha"
+    sst += struct.pack("<HB", 6, 0) + b"bud"          # 3 of 6 chars here
+    cont = b"\x00" + b"get"                            # flag byte + rest
+    cont += struct.pack("<HB", 4, 1) + "wide".encode("utf-16-le")
+    globals_sub = (
+        _bof(0x0005)
+        + _biff(0x00FC, sst)
+        + _biff(0x003C, cont)
+        + _biff(0x000A, b"")
+    )
+    def labelsst(row, col, isst):
+        return _biff(0x00FD, struct.pack("<HHHI", row, col, 0, isst))
+    rk_042 = (42 << 2) | 0x03                         # int 42, /100
+    rk_35 = struct.unpack("<I", struct.pack("<d", 3.5)[4:])[0] & 0xFFFFFFFC
+    sheet1 = (
+        _bof(0x0010)
+        + labelsst(0, 0, 0) + labelsst(0, 1, 1) + labelsst(1, 0, 2)
+        + _biff(0x0203, struct.pack("<HHH", 1, 1, 0) + struct.pack("<d", 7.0))
+        + _biff(0x027E, struct.pack("<HHHI", 2, 0, 0, rk_042))
+        + _biff(0x00BD, struct.pack("<HH", 2, 1)
+                + struct.pack("<HI", 0, rk_35) + struct.pack("<HI", 0, rk_042)
+                + struct.pack("<H", 2))
+        + _biff(0x000A, b"")
+    )
+    label = struct.pack("<HHH", 0, 0, 0) + struct.pack("<HB", 6, 0) + b"inline"
+    sheet2 = _bof(0x0010) + _biff(0x0204, label) + _biff(0x000A, b"")
+    return _cfb({"Workbook": globals_sub + sheet1 + sheet2})
+
+
+def test_xls_sst_continue_split_cells_and_rk():
+    xls = _xls_fixture()
+    assert is_ole2(xls)
+    out = extract_xls_text(xls)
+    assert out == (
+        "alpha\tbudget\nwide\t7\n0.42\t3.5\t0.42"
+        "\n\ninline"
+    )
+    assert extract_ole2_text(xls) == out
+    assert extract_any(xls) == out
+
+
+def _ppt_rec(ver_inst: int, rtype: int, body: bytes) -> bytes:
+    return struct.pack("<HHI", ver_inst, rtype, len(body)) + body
+
+
+def _ppt_fixture() -> bytes:
+    slwt = _ppt_rec(
+        0x000F, 0x0FF0,
+        _ppt_rec(0x0000, 0x03F3, bytes(20))
+        + _ppt_rec(0x0000, 0x0FA0,
+                   "Slide one title\rBullet point".encode("utf-16-le"))
+        + _ppt_rec(0x0000, 0x03F3, bytes(20))
+        + _ppt_rec(0x0000, 0x0FA8, b"Second slide\x0bsoft break"),
+    )
+    doc = _ppt_rec(0x000F, 0x03E8, slwt)
+    return _cfb({"PowerPoint Document": doc, "Current User": bytes(24)})
+
+
+def test_ppt_slides_group_by_persist_atoms():
+    ppt = _ppt_fixture()
+    out = extract_ppt_text(ppt)
+    assert out == "Slide one title\nBullet point\n\nSecond slide\nsoft break"
+    assert extract_ole2_text(ppt) == out
+    assert extract_any(ppt) == out
+
+
+def test_ole2_router_unknown_and_malformed_degrade():
+    # unknown OLE2 (no recognized stream) → ""
+    assert extract_ole2_text(_cfb({"SomeOtherStream": b"x" * 100})) == ""
+    assert extract_ole2_text(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64) == ""
+    assert extract_xls_text(b"junk") == ""
+    assert extract_ppt_text(b"") == ""
+    # truncated record walks stop cleanly
+    xls = _xls_fixture()
+    for cut in (600, 800, len(xls) - 9):
+        extract_xls_text(xls[:cut] + bytes(len(xls) - cut))  # must not raise
+
+
+def test_xls_sst_split_after_header_and_width_switch():
+    """Two more SST/CONTINUE corners: (a) the split lands exactly AFTER
+    a string's header — zero chars in the SST record, the CONTINUE still
+    restates the flag byte; (b) the restated flag SWITCHES width
+    (compressed header, UTF-16 continuation)."""
+    sst = struct.pack("<II", 2, 2)
+    sst += struct.pack("<HB", 3, 0) + b"abc"
+    sst += struct.pack("<HB", 4, 0)              # header only; chars follow
+    cont = b"\x01" + "wxyz".encode("utf-16-le")  # flag: now UTF-16
+    globals_sub = (
+        _bof(0x0005) + _biff(0x00FC, sst) + _biff(0x003C, cont)
+        + _biff(0x000A, b"")
+    )
+    sheet = (
+        _bof(0x0010)
+        + _biff(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))
+        + _biff(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1))
+        + _biff(0x000A, b"")
+    )
+    out = extract_xls_text(_cfb({"Workbook": globals_sub + sheet}))
+    assert out == "abc\twxyz"
+
+
+def test_xls_biff5_inline_labels():
+    """BIFF5 (Book stream, version word < 0x0600): no SST — text lives
+    in inline LABEL records whose string is a byte-count XLUnicodeString
+    without a flags byte."""
+    bof5 = _biff(0x0809, struct.pack("<HH", 0x0500, 0x0005) + bytes(4))
+    sheet_bof5 = _biff(0x0809, struct.pack("<HH", 0x0500, 0x0010) + bytes(4))
+    label = struct.pack("<HHH", 0, 0, 0) + struct.pack("<H", 5) + b"five5"
+    wb = bof5 + _biff(0x000A, b"") + sheet_bof5 + _biff(0x0204, label) + _biff(0x000A, b"")
+    out = extract_xls_text(_cfb({"Book": wb}))
+    assert out == "five5"
