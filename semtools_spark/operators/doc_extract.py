@@ -90,16 +90,26 @@ class _Cfb:
         # --- directory entries ---
         dir_bytes = self._chain_bytes(_u32(data, 48))
         self.entries: list[tuple[str, int, int, int]] = []  # name,type,start,size
+        # slot-indexed mirror carrying the red-black-tree links (left,
+        # right, child are directory SLOT ids) — needed to tell root-
+        # storage streams from streams buried in embedded-object storages
+        self._slots: "list[tuple[str, int, int, int, int, int, int] | None]" = []
         for off in range(0, len(dir_bytes) - 127, 128):
             e = dir_bytes[off : off + 128]
             nlen = _u16(e, 64)
-            if not 2 <= nlen <= 64:
+            name = None
+            if 2 <= nlen <= 64:
+                try:
+                    name = e[: nlen - 2].decode("utf-16-le")
+                except UnicodeDecodeError:
+                    name = None
+            if name is None:
+                self._slots.append(None)
                 continue
-            try:
-                name = e[: nlen - 2].decode("utf-16-le")
-            except UnicodeDecodeError:
-                continue
-            self.entries.append((name, e[66], _u32(e, 116), _u32(e, 120)))
+            left, right, child = struct.unpack_from("<iii", e, 68)
+            rec = (name, e[66], _u32(e, 116), _u32(e, 120))
+            self.entries.append(rec)
+            self._slots.append(rec + (left, right, child))
         # --- mini stream + mini FAT (loaded lazily on first small read) ---
         self._mini: "tuple[bytes, list[int]] | None" = None
 
@@ -145,6 +155,32 @@ class _Cfb:
                 hops += 1
             self._mini = (ministream, minifat)
         return self._mini
+
+    def root_stream_names(self) -> "set[str]":
+        """Names of STREAM entries that are direct children of the root
+        storage (left/right sibling walk from the root's child slot —
+        the child link of a sub-storage descends INTO it and is not
+        followed). Streams inside embedded-object storages (an Excel
+        chart in a deck, a Word object in a sheet) are thereby excluded,
+        which is what format dispatch must key on. Returns empty when
+        the tree is unreadable — callers fall back to the flat list."""
+        root = next((s for s in self._slots if s is not None and s[1] == 5), None)
+        if root is None:
+            return set()
+        out: set[str] = set()
+        stack, seen = [root[6]], set()
+        while stack:
+            i = stack.pop()
+            if i < 0 or i >= len(self._slots) or i in seen:
+                continue
+            seen.add(i)
+            s = self._slots[i]
+            if s is None:
+                continue
+            if s[1] == 2:
+                out.add(s[0])
+            stack.extend((s[4], s[5]))  # siblings stay at this level
+        return out
 
     def stream(self, name: str) -> "bytes | None":
         e = next((e for e in self.entries if e[0] == name and e[1] == 2), None)

@@ -294,6 +294,8 @@ def extract_xls_text(data: bytes) -> str:
 
 _SLIDE_LIST_WITH_TEXT = 0x0FF0
 _SLIDE_PERSIST_ATOM = 0x03F3
+_SLIDE_CONTAINER = 0x03EE
+_NOTES_CONTAINER = 0x03F0
 _TEXT_CHARS_ATOM = 0x0FA0
 _TEXT_BYTES_ATOM = 0x0FA8
 
@@ -308,6 +310,11 @@ def _ppt_walk(s: bytes, i: int, end: int, depth: int,
         stop = min(end, i + rlen)
         if (ver_inst & 0x000F) == 0x000F:  # container
             if depth < 32:
+                # a Slide/Notes container is its own page: textbox atoms
+                # inside it (OfficeArtClientTextbox) must not glue onto
+                # the last SlideListWithText group
+                if rtype in (_SLIDE_CONTAINER, _NOTES_CONTAINER):
+                    groups.append([])
                 _ppt_walk(s, i, stop, depth + 1,
                           in_slwt or rtype == _SLIDE_LIST_WITH_TEXT, groups)
         elif rtype == _SLIDE_PERSIST_ATOM and in_slwt:
@@ -362,7 +369,11 @@ def extract_ole2_text(data: bytes) -> str:
         cfb = _Cfb(data)
     except Exception:
         return ""
-    names = {e[0] for e in cfb.entries if e[1] == 2}
+    # dispatch on ROOT-storage streams only: a deck with an embedded
+    # Excel chart also contains a 'Workbook' stream (inside the embedded
+    # object's storage) and must still route as .ppt — the flat entry
+    # list is only the fallback for an unreadable directory tree
+    names = cfb.root_stream_names() or {e[0] for e in cfb.entries if e[1] == 2}
     try:
         if "WordDocument" in names:
             return _extract_doc_from_cfb(cfb)

@@ -771,28 +771,37 @@ def _fonts_of(resources, objects) -> dict[str, _Font]:
     return fonts
 
 
-def _image_xobjects(resources, objects) -> "set[str]":
-    """Resource names under /XObject whose target is /Subtype /Image —
-    the names an ``... Do`` draw in the page's content stream selects."""
-    names: set[str] = set()
+def _collect_xobjects(resources, objects) -> "dict[str, tuple]":
+    """The page's (or a form's) /XObject dict as a draw-dispatch map:
+    ``name -> ("img", None)`` for /Subtype /Image, ``name -> ("form",
+    (dict, raw_stream, resources))`` for /Subtype /Form (stream decode
+    deferred until the form is actually drawn). A form without its own
+    /Resources inherits the enclosing one (ISO 32000-1 §8.10.1)."""
+    out: dict[str, tuple] = {}
     res = _resolve(resources, objects)
     if not isinstance(res, dict):
-        return names
+        return out
     xdict = _resolve(res.get("XObject"), objects)
     if not isinstance(xdict, dict):
-        return names
+        return out
     for name, xref in xdict.items():
         num = xref.num if isinstance(xref, _Ref) else None
-        if num is not None and num in objects:
-            xval = objects[num][0]
-            if isinstance(xval, dict) and xval.get("Subtype") == "Image":
-                names.add(name)
-    return names
+        if num is None or num not in objects:
+            continue
+        xval, raw = objects[num]
+        if not isinstance(xval, dict):
+            continue
+        sub = xval.get("Subtype")
+        if sub == "Image":
+            out[name] = ("img", None)
+        elif sub == "Form" and raw is not None:
+            out[name] = ("form", (xval, raw, xval.get("Resources", resources)))
+    return out
 
 
-def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font], set]]":
-    """``(decoded content, fonts, image-XObject names)`` per page in page
-    order (catalog-tree walk; file order as the repair fallback).
+def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font], object]]":
+    """``(decoded content, fonts, resources)`` per page in page order
+    (catalog-tree walk; file order as the repair fallback).
     ``/Resources`` is an inheritable page attribute (ISO 32000-1
     §7.7.3.4), so the walk threads the nearest ancestor's down to leaves
     that lack their own."""
@@ -840,15 +849,9 @@ def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font], set]]":
             for _num, (val, _s) in sorted(objects.items())
             if isinstance(val, dict) and val.get("Type") == "Page"
         ]
-    out: list[tuple[bytes, dict[str, _Font], set]] = []
+    out: list[tuple[bytes, dict[str, _Font], object]] = []
     for p, res in pages:
-        out.append(
-            (
-                b"\n".join(content_of(p)),
-                _fonts_of(res, objects),
-                _image_xobjects(res, objects),
-            )
-        )
+        out.append((b"\n".join(content_of(p)), _fonts_of(res, objects), res))
     return out
 
 
@@ -857,30 +860,16 @@ def _page_streams(objects) -> "list[tuple[bytes, dict[str, _Font], set]]":
 TJ_WORD_GAP = -180
 
 
-def _text_from_content(stream: bytes, fonts: "dict[str, _Font] | None" = None) -> str:
-    """Walk the content stream's operand/operator tokens and assemble the
-    shown text: ``Tj``/``'``/``"`` append their string, ``TJ`` appends
-    its strings with kerning-gap word splits, ``Td``/``TD``/``T*``/
-    ``Tm``/``'``/``"`` start a new line, and ``Tf`` switches the active
-    font (whose /ToUnicode CMap decodes subsequent show-strings)."""
-    fonts = fonts or {}
-    font = [_LATIN1_FONT]  # list-of-one: writable from the closures
-    lines: list[str] = []
-    cur: list[str] = []
+def _content_ops(stream: bytes):
+    """The content stream's operator/operand tokenizer, shared by text
+    assembly (:func:`_text_from_content`), the image-draw scan
+    (:func:`_draws_image`) and the text short-circuit
+    (:func:`_shows_text`) so there is exactly ONE copy of the token
+    grammar. Yields ``(op, operands)``; the operands list is reused
+    across yields — consume it before advancing."""
     operands: list = []
     i = 0
     n = len(stream)
-
-    def newline():
-        if cur:
-            lines.append("".join(cur))
-            cur.clear()
-
-    def show(b: bytes):
-        t = font[0].decode(b)
-        if t:  # a Type0 show with no /ToUnicode decodes to nothing —
-            cur.append(t)  # don't let it fabricate blank lines
-
     while i < n:
         i = _skip_ws(stream, i)
         if i >= n:
@@ -900,6 +889,32 @@ def _text_from_content(stream: bytes, fonts: "dict[str, _Font] | None" = None) -
             j += 1
         op = stream[i:j]
         i = j if j > i else i + 1
+        yield op, operands
+        operands.clear()
+
+
+def _text_from_content(stream: bytes, fonts: "dict[str, _Font] | None" = None) -> str:
+    """Walk the content stream's operand/operator tokens and assemble the
+    shown text: ``Tj``/``'``/``"`` append their string, ``TJ`` appends
+    its strings with kerning-gap word splits, ``Td``/``TD``/``T*``/
+    ``Tm``/``'``/``"`` start a new line, and ``Tf`` switches the active
+    font (whose /ToUnicode CMap decodes subsequent show-strings)."""
+    fonts = fonts or {}
+    font = [_LATIN1_FONT]  # list-of-one: writable from the closures
+    lines: list[str] = []
+    cur: list[str] = []
+
+    def newline():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    def show(b: bytes):
+        t = font[0].decode(b)
+        if t:  # a Type0 show with no /ToUnicode decodes to nothing —
+            cur.append(t)  # don't let it fabricate blank lines
+
+    for op, operands in _content_ops(stream):
         if op == b"Tj" and operands and isinstance(operands[-1], bytes):
             show(operands[-1])
         elif op == b"TJ" and operands and isinstance(operands[-1], list):
@@ -916,7 +931,6 @@ def _text_from_content(stream: bytes, fonts: "dict[str, _Font] | None" = None) -
             newline()
         elif op == b"Tf" and len(operands) >= 2 and isinstance(operands[-2], str):
             font[0] = fonts.get(operands[-2], _LATIN1_FONT)
-        operands.clear()
     newline()
     return "\n".join(lines)
 
@@ -936,39 +950,57 @@ def extract_pdf_text(data: bytes) -> str:
     try:
         objects = _scan_objects(data)
         page_texts = [
-            _text_from_content(s, fonts) for s, fonts, _imgs in _page_streams(objects)
+            _text_from_content(s, fonts) for s, fonts, _res in _page_streams(objects)
         ]
     except Exception:
         return ""
     return "\n\n".join(t for t in page_texts if t)
 
 
-def _draws_image(stream: bytes, image_names: "set[str]") -> bool:
-    """True when the content stream executes an image draw: a ``name Do``
-    whose name resolves to an image XObject, or an inline image
-    (``BI … ID``, ISO 32000-1 §8.9.7)."""
-    operand = None
-    i, n = 0, len(stream)
-    while i < n:
-        i = _skip_ws(stream, i)
-        if i >= n:
-            break
-        c = stream[i : i + 1]
-        if c in b"(<[/" or c in b"+-." or c.isdigit():
-            try:
-                operand, i = _parse_value(stream, i)
-            except (ValueError, IndexError, AssertionError, OverflowError):
-                i += 1
-            continue
-        j = i
-        while j < n and stream[j : j + 1] not in _WS and stream[j : j + 1] not in _DELIM:
-            j += 1
-        op, i = stream[i:j], (j if j > i else i + 1)
-        if op == b"Do" and isinstance(operand, str) and operand in image_names:
-            return True
+def _draws_image(stream: bytes, xobjs: "dict[str, tuple]", objects,
+                 depth: int = 0) -> bool:
+    """True when the content stream executes an image draw: an inline
+    image (``BI … ID``, ISO 32000-1 §8.9.7), a ``name Do`` of an image
+    XObject, or — recursively — a drawn Form XObject whose own content
+    draws one (scan producers commonly wrap the page image in a form).
+    Short-circuits on the first hit; form streams decode lazily, only
+    when actually drawn."""
+    for op, operands in _content_ops(stream):
         if op == b"BI":
             return True
-        operand = None
+        if op == b"Do" and operands and isinstance(operands[-1], str):
+            entry = xobjs.get(operands[-1])
+            if entry is None:
+                continue
+            kind, payload = entry
+            if kind == "img":
+                return True
+            if depth < 8:  # form: recurse with its own resource scope
+                fdict, raw, fres = payload
+                dec = _decode_stream(fdict, raw, objects)
+                if dec is not None and _draws_image(
+                    dec, _collect_xobjects(fres, objects), objects, depth + 1
+                ):
+                    return True
+    return False
+
+
+def _shows_text(stream: bytes, fonts: "dict[str, _Font]") -> bool:
+    """True on the FIRST show operator that decodes to any text — the
+    short-circuit twin of :func:`_text_from_content` for flag probing
+    (same grammar via :func:`_content_ops`, same font/decoder state, no
+    line assembly, no full-document cost)."""
+    font = _LATIN1_FONT
+    for op, operands in _content_ops(stream):
+        if op in (b"Tj", b"'", b'"') and operands and isinstance(operands[-1], bytes):
+            if font.decode(operands[-1]):
+                return True
+        elif op == b"TJ" and operands and isinstance(operands[-1], list):
+            for el in operands[-1]:
+                if isinstance(el, bytes) and font.decode(el):
+                    return True
+        elif op == b"Tf" and len(operands) >= 2 and isinstance(operands[-2], str):
+            font = fonts.get(operands[-2], _LATIN1_FONT)
     return False
 
 
@@ -979,14 +1011,22 @@ def pdf_page_flags(data: bytes) -> "list[tuple[bool, bool]]":
     (src/parse/client.rs:290-433); this sandbox has no OCR, so the flag
     is the honest machine-readable limitation marker that lets a pipeline
     route image-only documents instead of silently storing "" for them.
-    Malformed input degrades to ``[]``, never an exception."""
+    Both probes short-circuit at the first glyph / first draw — the flag
+    costs a token scan, not a second full extraction. ``has_text``
+    deliberately sees the PAGE stream only (the extractor's own view, so
+    the flag stays consistent with what extraction returned); the image
+    probe recurses into drawn Form XObjects. Malformed input degrades to
+    ``[]``, never an exception."""
     if not is_pdf(data):
         return []
     try:
         objects = _scan_objects(data)
         return [
-            (bool(_text_from_content(s, fonts)), _draws_image(s, imgs))
-            for s, fonts, imgs in _page_streams(objects)
+            (
+                _shows_text(s, fonts),
+                _draws_image(s, _collect_xobjects(res, objects), objects),
+            )
+            for s, fonts, res in _page_streams(objects)
         ]
     except Exception:
         return []

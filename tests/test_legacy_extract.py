@@ -167,9 +167,11 @@ def test_rtf_uc_skip_and_bin():
 # ---- binary .doc ----------------------------------------------------------
 
 
-def _cfb(streams: "dict[str, bytes]") -> bytes:
+def _cfb(streams: "dict[str, bytes]", non_root: "tuple[str, ...]" = ()) -> bytes:
     """Minimal CFB v3 writer: every stream placed in the main FAT (the
-    mini-stream path is exercised via small_streams below)."""
+    mini-stream path is exercised via small_streams below). Streams named
+    in ``non_root`` are parented under an ``ObjectPool`` STORAGE entry
+    (the embedded-OLE-object layout) instead of the root storage."""
     SS = 512
     big = {n: v for n, v in streams.items() if len(v) >= 4096}
     small = {n: v for n, v in streams.items() if len(v) < 4096}
@@ -192,7 +194,8 @@ def _cfb(streams: "dict[str, bytes]") -> bytes:
         return start, len(sectors) + 1 - start
 
     # directory entries
-    def dirent(name: str, typ: int, start: int, size: int) -> bytes:
+    def dirent(name: str, typ: int, start: int, size: int,
+               right: int = -1, child: int = -1) -> bytes:
         raw = name.encode("utf-16-le")
         e = bytearray(128)
         e[: len(raw)] = raw
@@ -200,8 +203,8 @@ def _cfb(streams: "dict[str, bytes]") -> bytes:
         e[66] = typ
         e[67] = 1  # black
         struct.pack_into("<i", e, 68, -1)  # left sibling
-        struct.pack_into("<i", e, 72, -1)  # right sibling
-        struct.pack_into("<i", e, 76, 1 if typ == 5 else -1)  # child
+        struct.pack_into("<i", e, 72, right)
+        struct.pack_into("<i", e, 76, child)
         struct.pack_into("<I", e, 116, start)
         struct.pack_into("<I", e, 120, size)
         return bytes(e)
@@ -210,7 +213,9 @@ def _cfb(streams: "dict[str, bytes]") -> bytes:
     # reserve: we lay out dir first (after FAT), then miniFAT, ministream,
     # then big streams; dir needs entry sector starts, so compute sizes
     names = list(streams)
-    ndirent = 1 + len(names)
+    root_names = [n for n in names if n not in non_root]
+    pool_names = [n for n in names if n in non_root]
+    ndirent = 1 + len(names) + (1 if pool_names else 0)
     dir_bytes_len = ((ndirent * 128 + SS - 1) // SS) * SS
 
     # --- compute layout ---
@@ -254,12 +259,31 @@ def _cfb(streams: "dict[str, bytes]") -> bytes:
         minifat[s + nsec - 1] = 0xFFFFFFFE
 
     # --- directory ---
+    # slots: 0 = root; 1.. = root streams chained via right siblings,
+    # then (optionally) the ObjectPool storage closing the root chain,
+    # then the pool's streams chained via right siblings under its child
+    slot_of = {n: 1 + i for i, n in enumerate(root_names)}
+    pool_slot = 1 + len(root_names) if pool_names else -1
+    for i, n in enumerate(pool_names):
+        slot_of[n] = pool_slot + 1 + i
     dire = bytearray()
-    dire += dirent("Root Entry", 5, ministream_start, len(mini_data))
-    for n in names:
+    root_child = 1 if (root_names or pool_names) else -1
+    dire += dirent("Root Entry", 5, ministream_start, len(mini_data),
+                   child=root_child)
+
+    def right_of(idx: int, seq: "list[str]", tail: int = -1) -> int:
+        return (slot_of[seq[idx + 1]] if idx + 1 < len(seq) else tail)
+
+    for i, n in enumerate(root_names):
         v = streams[n]
         st = big_starts[n] if n in big else mini_start[n]
-        dire += dirent(n, 2, st, len(v))
+        dire += dirent(n, 2, st, len(v), right=right_of(i, root_names, pool_slot))
+    if pool_names:
+        dire += dirent("ObjectPool", 1, 0, 0, child=slot_of[pool_names[0]])
+        for i, n in enumerate(pool_names):
+            v = streams[n]
+            st = big_starts[n] if n in big else mini_start[n]
+            dire += dirent(n, 2, st, len(v), right=right_of(i, pool_names))
     dire += bytes(dir_bytes_len - len(dire))
 
     # --- assemble ---
@@ -510,3 +534,52 @@ def test_xls_biff5_inline_labels():
     wb = bof5 + _biff(0x000A, b"") + sheet_bof5 + _biff(0x0204, label) + _biff(0x000A, b"")
     out = extract_xls_text(_cfb({"Book": wb}))
     assert out == "five5"
+
+
+def test_ole2_router_ignores_embedded_object_streams():
+    """r8 review: a deck with an embedded Excel chart also carries a
+    'Workbook' stream (inside the embedded object's storage). Dispatch
+    must key on ROOT-storage streams only, or the whole deck misroutes
+    to the XLS extractor and every slide is lost."""
+    slwt = _ppt_rec(
+        0x000F, 0x0FF0,
+        _ppt_rec(0x0000, 0x03F3, bytes(20))
+        + _ppt_rec(0x0000, 0x0FA8, b"deck text survives"),
+    )
+    doc = _ppt_rec(0x000F, 0x03E8, slwt)
+    wb = (  # a real little workbook, buried in the embedded object pool
+        _bof(0x0005) + _biff(0x000A, b"")
+        + _bof(0x0010)
+        + _biff(0x0204, struct.pack("<HHH", 0, 0, 0)
+                + struct.pack("<HB", 5, 0) + b"chart")
+        + _biff(0x000A, b"")
+    )
+    deck = _cfb(
+        {"PowerPoint Document": doc, "Workbook": wb},
+        non_root=("Workbook",),
+    )
+    assert extract_ole2_text(deck) == "deck text survives"
+    # and the reverse: a sheet with an embedded Word object stays .xls
+    sheet = _cfb(
+        {"Workbook": wb, "WordDocument": bytes(512)},
+        non_root=("WordDocument",),
+    )
+    assert extract_ole2_text(sheet) == "chart"
+
+
+def test_ppt_textbox_in_slide_container_groups_separately():
+    """r8 review: textbox atoms live inside each Slide container (after
+    the SlideListWithText in the stream); they must form their own
+    slide group, not glue onto the last SLWT group."""
+    slwt = _ppt_rec(
+        0x000F, 0x0FF0,
+        _ppt_rec(0x0000, 0x03F3, bytes(20))
+        + _ppt_rec(0x0000, 0x0FA8, b"outline one")
+        + _ppt_rec(0x0000, 0x03F3, bytes(20))
+        + _ppt_rec(0x0000, 0x0FA8, b"outline two"),
+    )
+    slide1 = _ppt_rec(0x000F, 0x03EE, _ppt_rec(0x0000, 0x0FA8, b"textbox one"))
+    slide2 = _ppt_rec(0x000F, 0x03EE, _ppt_rec(0x0000, 0x0FA8, b"textbox two"))
+    doc = _ppt_rec(0x000F, 0x03E8, slwt + slide1 + slide2)
+    out = extract_ppt_text(_cfb({"PowerPoint Document": doc}))
+    assert out == "outline one\n\noutline two\n\ntextbox one\n\ntextbox two"

@@ -534,3 +534,39 @@ def test_flag_scanned_routes_in_spark(spark):
         "scan.pdf": True, "text.pdf": False,
         "page.html": False, "null.bin": False,
     }
+
+
+def test_images_only_sees_image_inside_form_xobject():
+    """r8 review: several scan producers wrap the page image in a Form
+    XObject ('q /Fm0 Do Q' with the /Im0 draw inside the form). The
+    image probe must recurse into drawn forms or a genuine scan flags
+    images_only=False — the exact conflation the flag exists to avoid."""
+    form_stream = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /XObject << /Fm0 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 12 >> stream\nq /Fm0 Do Q\nendstream endobj\n"
+        b"5 0 obj << /Subtype /Form /Resources << /XObject << /Im0 6 0 R >> >> "
+        b"/Length " + str(len(form_stream)).encode()
+        + b" >> stream\n" + form_stream + b"\nendstream endobj\n"
+        b"6 0 obj << /Subtype /Image /Width 1 /Height 1 /Length 3 >> "
+        b"stream\n\xff\x00\x7f\nendstream endobj\n"
+    )
+    assert PX.extract_pdf_text(data) == ""
+    assert PX.pdf_page_flags(data) == [(False, True)]
+    assert PX.pdf_images_only(data) is True
+    # a form that draws nothing image-like stays False (and a form
+    # drawing ITSELF must terminate via the depth bound, not hang)
+    self_form = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /XObject << /Fm0 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 8 >> stream\n/Fm0 Do\nendstream endobj\n"
+        b"5 0 obj << /Subtype /Form /Length 8 >> stream\n/Fm0 Do\nendstream endobj\n"
+    )
+    assert PX.pdf_images_only(self_form) is False
