@@ -1,0 +1,135 @@
+"""WARC source (sources/warc.py): record framing, gzip members, HTTP
+payload decode (chunked + content-encoding), and the Spark scan into
+the parse stage's input shape."""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+import pytest
+
+from semtools_spark.operators.parse import parse_pages
+from semtools_spark.sources.warc import (
+    _gunzip_members,
+    parse_warc,
+    warc_pages,
+)
+
+
+def _rec(rtype: str, payload: bytes, uri: str = "", date: str = "",
+         ctype: str = "application/http; msgtype=response") -> bytes:
+    head = [f"WARC/1.0", f"WARC-Type: {rtype}",
+            f"Content-Length: {len(payload)}", f"Content-Type: {ctype}"]
+    if uri:
+        head.append(f"WARC-Target-URI: {uri}")
+    if date:
+        head.append(f"WARC-Date: {date}")
+    return ("\r\n".join(head) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200,
+          headers: "tuple[str, ...]" = ("Content-Type: text/html",)) -> bytes:
+    head = [f"HTTP/1.1 {status} OK", *headers]
+    return ("\r\n".join(head) + "\r\n\r\n").encode() + body
+
+
+def _corpus() -> bytes:
+    chunked = b"5\r\n<p>ch\r\n9\r\nunked</p>\r\n0\r\n\r\n"
+    gz_body = gzip.compress(b"<p>gzipped body</p>")
+    return (
+        _rec("warcinfo", b"software: test\r\n", ctype="application/warc-fields")
+        + _rec("request", _http(b"", 0, ("Host: x",)),
+               uri="http://a.example/one")
+        + _rec("response", _http(b"<p>plain body</p>"),
+               uri="http://a.example/one", date="2025-01-06T08:15:30Z")
+        + _rec("response",
+               _http(chunked, 200, ("Content-Type: text/html",
+                                    "Transfer-Encoding: chunked")),
+               uri="http://a.example/two", date="2025-01-06T08:16:00Z")
+        + _rec("response",
+               _http(gz_body, 200, ("Content-Type: text/html",
+                                    "Content-Encoding: gzip")),
+               uri="http://a.example/three", date="2025-01-06T08:17:00Z")
+        + _rec("response", _http(b"gone", 404),
+               uri="http://a.example/missing", date="2025-01-06T08:18:00Z")
+        + _rec("resource", b"raw resource bytes",
+               uri="http://a.example/res.txt", date="2025-01-06T08:19:00Z",
+               ctype="text/plain")
+    )
+
+
+def test_parse_warc_records_and_http_decode():
+    recs = list(parse_warc(_corpus()))
+    by_url = {r["url"]: r for r in recs}
+    # warcinfo + request skipped; 4 responses + 1 resource kept
+    assert len(recs) == 5
+    assert by_url["http://a.example/one"]["html"] == b"<p>plain body</p>"
+    assert by_url["http://a.example/one"]["http_status"] == 200
+    assert by_url["http://a.example/one"]["content_type"] == "text/html"
+    assert by_url["http://a.example/two"]["html"] == b"<p>chunked</p>"
+    assert by_url["http://a.example/three"]["html"] == b"<p>gzipped body</p>"
+    assert by_url["http://a.example/missing"]["http_status"] == 404
+    res = by_url["http://a.example/res.txt"]
+    assert res["html"] == b"raw resource bytes"
+    assert res["http_status"] is None
+    assert res["content_type"] == "text/plain"
+
+
+def test_gzip_member_per_record_layout():
+    plain = _corpus()
+    # one gzip member per record — the canonical .warc.gz layout
+    members = b"".join(
+        gzip.compress(_rec("response", _http(b"<p>m%d</p>" % i),
+                           uri=f"http://m.example/{i}",
+                           date="2025-01-06T09:00:00Z"))
+        for i in range(3)
+    )
+    assert _gunzip_members(members).count(b"WARC/1.0") == 3
+    assert len(list(parse_warc(members))) == 3
+    # plain bytes pass through
+    assert _gunzip_members(plain) is plain
+
+
+def test_malformed_and_truncated_degrade():
+    corpus = _corpus()
+    assert list(parse_warc(b"")) == []
+    assert list(parse_warc(b"not a warc at all")) == []
+    # truncation mid-payload: earlier records survive, walk stops clean
+    cut = list(parse_warc(corpus[: len(corpus) - 40]))
+    assert 0 < len(cut) <= 5
+    # corrupt gzip tail: first member still decodes
+    members = gzip.compress(
+        _rec("response", _http(b"<p>ok</p>"), uri="u", date="2025-01-06T09:00:00Z")
+    ) + b"\x1f\x8b garbage"
+    assert len(list(parse_warc(members))) == 1
+    # a declared length overrunning the file ends the walk, no raise
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nxx"
+    assert list(parse_warc(bad)) == []
+
+
+def test_warc_pages_scan_feeds_parse_pages(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_corpus())
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_rec(
+        "response", _http(b"<p>from gz file</p>"),
+        uri="http://b.example/gz", date="2025-01-06T10:00:00Z",
+    )))
+    df = warc_pages(spark, str(tmp_path) + "/*.warc*")
+    rows = {r.url: r for r in df.collect()}
+    # 404 dropped by keep_status; resource (NULL status) kept
+    assert "http://a.example/missing" not in rows
+    assert set(rows) == {
+        "http://a.example/one", "http://a.example/two",
+        "http://a.example/three", "http://a.example/res.txt",
+        "http://b.example/gz",
+    }
+    assert rows["http://a.example/one"].warc_ts is not None
+    assert rows["http://a.example/one"].lang is None
+    # the whole point: parse_pages consumes the scan unchanged
+    texts = {r.url: r.text for r in parse_pages(df).collect()}
+    assert texts["http://a.example/two"] == "chunked"
+    assert texts["http://b.example/gz"] == "from gz file"
+    # .txt url takes the P1 passthrough branch (raw decode, no markup strip)
+    assert texts["http://a.example/res.txt"] == "raw resource bytes"
+    # keep_status=None keeps the 404
+    assert warc_pages(spark, str(tmp_path) + "/a.warc", keep_status=None).count() == 5
