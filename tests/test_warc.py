@@ -5,9 +5,6 @@ the parse stage's input shape."""
 from __future__ import annotations
 
 import gzip
-import zlib
-
-import pytest
 
 from semtools_spark.operators.parse import parse_pages
 from semtools_spark.sources.warc import (
@@ -133,3 +130,51 @@ def test_warc_pages_scan_feeds_parse_pages(spark, tmp_path):
     assert texts["http://a.example/res.txt"] == "raw resource bytes"
     # keep_status=None keeps the 404
     assert warc_pages(spark, str(tmp_path) + "/a.warc", keep_status=None).count() == 5
+
+
+# ---- fuzz: the record walk must never raise --------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except Exception:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @given(
+        prefix=st.sampled_from([b"", b"WARC/1.0\r\n", b"\x1f\x8b\x08\x00"]),
+        payload=st.binary(min_size=0, max_size=2048),
+    )
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_arbitrary_bytes_never_raise(prefix, payload):
+        for rec in parse_warc(prefix + payload):
+            assert isinstance(rec, dict)
+
+    @given(
+        mutation=st.one_of(
+            st.tuples(st.just("flip"), st.integers(min_value=0),
+                      st.integers(0, 7)),
+            st.tuples(st.just("cut"), st.integers(min_value=0), st.just(0)),
+            st.tuples(st.just("splice"), st.integers(min_value=0), st.just(0)),
+        ),
+        junk=st.binary(min_size=1, max_size=32),
+        gz=st.booleans(),
+    )
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_mutated_corpus_never_raises(mutation, junk, gz):
+        data = bytearray(gzip.compress(_corpus()) if gz else _corpus())
+        kind, off, bit = mutation
+        off = off % max(1, len(data))
+        if kind == "flip":
+            data[off] ^= 1 << bit
+        elif kind == "cut":
+            data = data[:off]
+        else:
+            data[off:off] = junk
+        for rec in parse_warc(bytes(data)):
+            assert isinstance(rec, dict)
