@@ -156,34 +156,52 @@ class _Cfb:
             self._mini = (ministream, minifat)
         return self._mini
 
+    def _root_slot_ids(self) -> "set[int]":
+        """Slot ids of the root storage's direct children (left/right
+        sibling walk from the root's child slot — the child link of a
+        sub-storage descends INTO it and is not followed)."""
+        if getattr(self, "_root_ids", None) is None:
+            self._root_ids: set[int] = set()
+            root = next(
+                (s for s in self._slots if s is not None and s[1] == 5), None
+            )
+            stack: list[int] = [root[6]] if root is not None else []
+            while stack:
+                i = stack.pop()
+                if i < 0 or i >= len(self._slots) or i in self._root_ids:
+                    continue
+                self._root_ids.add(i)
+                s = self._slots[i]
+                if s is not None:
+                    stack.extend((s[4], s[5]))  # siblings stay at this level
+        return self._root_ids
+
     def root_stream_names(self) -> "set[str]":
         """Names of STREAM entries that are direct children of the root
-        storage (left/right sibling walk from the root's child slot —
-        the child link of a sub-storage descends INTO it and is not
-        followed). Streams inside embedded-object storages (an Excel
-        chart in a deck, a Word object in a sheet) are thereby excluded,
-        which is what format dispatch must key on. Returns empty when
-        the tree is unreadable — callers fall back to the flat list."""
-        root = next((s for s in self._slots if s is not None and s[1] == 5), None)
-        if root is None:
-            return set()
+        storage. Streams inside embedded-object storages (an Excel chart
+        in a deck, a Word object in a sheet) are thereby excluded, which
+        is what format dispatch must key on. Returns empty when the tree
+        is unreadable — callers fall back to the flat list."""
         out: set[str] = set()
-        stack, seen = [root[6]], set()
-        while stack:
-            i = stack.pop()
-            if i < 0 or i >= len(self._slots) or i in seen:
-                continue
-            seen.add(i)
+        for i in self._root_slot_ids():
             s = self._slots[i]
-            if s is None:
-                continue
-            if s[1] == 2:
+            if s is not None and s[1] == 2:
                 out.add(s[0])
-            stack.extend((s[4], s[5]))  # siblings stay at this level
         return out
 
     def stream(self, name: str) -> "bytes | None":
-        e = next((e for e in self.entries if e[0] == name and e[1] == 2), None)
+        # prefer the entry REACHABLE FROM THE ROOT storage: an embedded
+        # object's same-named stream ('Workbook' inside a deck's object
+        # pool) can precede the root one in directory-slot order, and
+        # incremental saves reorder slots freely
+        e = None
+        for i in self._root_slot_ids():
+            s = self._slots[i]
+            if s is not None and s[0] == name and s[1] == 2:
+                e = s[:4]
+                break
+        if e is None:
+            e = next((x for x in self.entries if x[0] == name and x[1] == 2), None)
         if e is None:
             return None
         _name, _t, start, size = e

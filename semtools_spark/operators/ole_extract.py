@@ -369,11 +369,17 @@ def extract_ole2_text(data: bytes) -> str:
         cfb = _Cfb(data)
     except Exception:
         return ""
-    # dispatch on ROOT-storage streams only: a deck with an embedded
-    # Excel chart also contains a 'Workbook' stream (inside the embedded
-    # object's storage) and must still route as .ppt — the flat entry
-    # list is only the fallback for an unreadable directory tree
-    names = cfb.root_stream_names() or {e[0] for e in cfb.entries if e[1] == 2}
+    # dispatch on ROOT-storage streams: a deck with an embedded Excel
+    # chart also contains a 'Workbook' stream (inside the embedded
+    # object's storage) and must still route as .ppt. Fall back to the
+    # flat entry list whenever the root walk surfaces NO dispatchable
+    # stream — not only when it is empty — so a directory tree whose
+    # sibling links to the format stream are cut (sloppy third-party CFB
+    # writers) still extracts instead of silently returning ""
+    _DISPATCH = {"WordDocument", "Workbook", "Book", "PowerPoint Document"}
+    names = cfb.root_stream_names()
+    if not (names & _DISPATCH):
+        names = {e[0] for e in cfb.entries if e[1] == 2}
     try:
         if "WordDocument" in names:
             return _extract_doc_from_cfb(cfb)

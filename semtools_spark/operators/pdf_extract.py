@@ -958,13 +958,18 @@ def extract_pdf_text(data: bytes) -> str:
 
 
 def _draws_image(stream: bytes, xobjs: "dict[str, tuple]", objects,
-                 depth: int = 0) -> bool:
+                 depth: int = 0, _memo: "dict | None" = None) -> bool:
     """True when the content stream executes an image draw: an inline
     image (``BI … ID``, ISO 32000-1 §8.9.7), a ``name Do`` of an image
     XObject, or — recursively — a drawn Form XObject whose own content
     draws one (scan producers commonly wrap the page image in a form).
     Short-circuits on the first hit; form streams decode lazily, only
-    when actually drawn."""
+    when actually drawn. Each form's verdict is MEMOIZED by its raw
+    stream identity — without that, k nested forms each drawn N times
+    cost N^k re-scans (a few-KB hostile document = minutes of CPU), and
+    the pre-seeded False also terminates draw cycles."""
+    if _memo is None:
+        _memo = {}
     for op, operands in _content_ops(stream):
         if op == b"BI":
             return True
@@ -977,10 +982,18 @@ def _draws_image(stream: bytes, xobjs: "dict[str, tuple]", objects,
                 return True
             if depth < 8:  # form: recurse with its own resource scope
                 fdict, raw, fres = payload
+                key = id(raw)
+                if key in _memo:
+                    if _memo[key]:
+                        return True
+                    continue
+                _memo[key] = False  # in-progress: a self-draw is a no-op
                 dec = _decode_stream(fdict, raw, objects)
                 if dec is not None and _draws_image(
-                    dec, _collect_xobjects(fres, objects), objects, depth + 1
+                    dec, _collect_xobjects(fres, objects), objects,
+                    depth + 1, _memo
                 ):
+                    _memo[key] = True
                     return True
     return False
 

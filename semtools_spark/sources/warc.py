@@ -58,24 +58,29 @@ _MAX_HEADER_BYTES = 64 * 1024     # a WARC/HTTP header block beyond this is junk
 _MAX_RECORDS_PER_FILE = 1 << 22   # runaway bound, far above real files
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated-gzip-member decode (the .warc.gz layout); plain
-    bytes pass through untouched. A corrupt tail keeps the members
-    decoded so far."""
-    if data[:2] != b"\x1f\x8b":
-        return data
-    out: list[bytes] = []
+def _iter_gzip_members(data: bytes) -> "Iterator[bytes]":
+    """Yield each gzip member's decompressed bytes in order (the
+    .warc.gz layout stores one record per member). A corrupt tail ends
+    the walk with the members decoded so far."""
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(47)
         try:
-            out.append(d.decompress(rest))
+            yield d.decompress(rest)
         except zlib.error:
-            break
+            return
         if not d.eof:
-            break
+            return
         rest = d.unused_data
-    return b"".join(out)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated-gzip-member decode; plain bytes pass through
+    untouched. (Whole-file form — :func:`parse_warc` itself consumes
+    members incrementally to keep peak memory at ~one record.)"""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    return b"".join(_iter_gzip_members(data))
 
 
 def _parse_headers(block: bytes) -> "dict[str, str]":
@@ -92,9 +97,16 @@ def _parse_headers(block: bytes) -> "dict[str, str]":
 
 
 def _dechunk(body: bytes) -> bytes:
-    """HTTP/1.1 chunked transfer-encoding → raw bytes (best-effort)."""
+    """HTTP/1.1 chunked transfer-encoding → raw bytes. Commits to the
+    de-chunked output only when the chunk walk is CONSISTENT (every
+    declared chunk fits and ends on a CRLF boundary, terminating at a
+    0-size chunk or the body's end) — some WARC writers store the
+    already-de-chunked body while preserving the header, and slicing
+    such a body by imaginary chunk sizes would corrupt it. Anything
+    inconsistent degrades to the raw bytes."""
     out: list[bytes] = []
     i = 0
+    terminated = False
     while i < len(body):
         eol = body.find(b"\r\n", i)
         if eol < 0:
@@ -104,10 +116,19 @@ def _dechunk(body: bytes) -> bytes:
         except ValueError:
             break
         if size == 0:
+            terminated = True
             break
-        out.append(body[eol + 2 : eol + 2 + size])
-        i = eol + 2 + size + 2  # chunk + its trailing CRLF
-    return b"".join(out) if out else body
+        chunk = body[eol + 2 : eol + 2 + size]
+        if len(chunk) < size:
+            break  # declared chunk overruns the body: not really chunked
+        boundary = body[eol + 2 + size : eol + 2 + size + 2]
+        if boundary not in (b"\r\n", b""):
+            break  # chunk doesn't end on CRLF: not really chunked
+        out.append(chunk)
+        i = eol + 2 + size + 2
+    if terminated or (out and i >= len(body)):
+        return b"".join(out)
+    return body
 
 
 def _http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]":
@@ -141,38 +162,55 @@ def _http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]":
     return status, ctype, body
 
 
-def parse_warc(data: bytes) -> "Iterator[dict]":
-    """WARC bytes (plain or .gz) → dicts of (url, warc_ts, html,
-    http_status, content_type), one per kept record. Pure, deterministic,
-    and tolerant: truncation or a malformed record ends the walk with
-    the records parsed so far."""
-    data = _gunzip_members(data)
+def _scan_records(data: bytes, consumed: "list[int]",
+                  budget: "list[int]") -> "Iterator[dict]":
+    """Complete records in ``data`` → kept-record dicts. ``consumed[0]``
+    is set to the offset after the last COMPLETE record (an incomplete
+    trailing record stays unconsumed so a caller feeding gzip members
+    incrementally can carry it into the next member)."""
     i, n = 0, len(data)
-    for _ in range(_MAX_RECORDS_PER_FILE):
+    consumed[0] = n
+    while budget[0] > 0:
+        budget[0] -= 1
         # seek the next record header (tolerates inter-record padding)
         start = data.find(b"WARC/", i)
         if start < 0:
+            consumed[0] = n
             return
         head_end = data.find(b"\r\n\r\n", start)
-        if head_end < 0 or head_end - start > _MAX_HEADER_BYTES:
+        if head_end < 0:
+            # header may continue in the next gzip member
+            consumed[0] = start if n - start <= _MAX_HEADER_BYTES else n
+            return
+        if head_end - start > _MAX_HEADER_BYTES:
+            consumed[0] = n
             return
         headers = _parse_headers(data[start:head_end])
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            consumed[0] = n
             return
-        if length < 0 or head_end + 4 + length > n:
+        if length < 0:
+            consumed[0] = n
+            return
+        if head_end + 4 + length > n:
+            consumed[0] = start  # payload continues in the next member
             return
         payload = data[head_end + 4 : head_end + 4 + length]
         i = head_end + 4 + length
+        consumed[0] = i
         rtype = headers.get("warc-type", "").lower()
         if rtype not in ("response", "resource"):
             continue
-        status, ctype, body = (
-            _http_payload(payload) if rtype == "response" else (None, None, payload)
-        )
-        if ctype is None:
-            ctype = headers.get("content-type")
+        if rtype == "response":
+            status, ctype, body = _http_payload(payload)
+            # NO fallback to the WARC envelope Content-Type here: that
+            # header describes the ENVELOPE ("application/http; ..."),
+            # not the payload — a response without an HTTP Content-Type
+            # is honestly NULL
+        else:  # resource: the envelope Content-Type IS the payload type
+            status, ctype, body = None, headers.get("content-type"), payload
         yield {
             "url": headers.get("warc-target-uri"),
             "warc_ts": headers.get("warc-date"),
@@ -180,6 +218,27 @@ def parse_warc(data: bytes) -> "Iterator[dict]":
             "http_status": status,
             "content_type": ctype,
         }
+
+
+def parse_warc(data: bytes) -> "Iterator[dict]":
+    """WARC bytes (plain or .gz) → dicts of (url, warc_ts, html,
+    http_status, content_type), one per kept record. Pure, deterministic,
+    and tolerant: truncation or a malformed record ends the walk with
+    the records parsed so far. Gzip members decompress INCREMENTALLY —
+    a record spanning members is carried over, and peak memory stays at
+    ~one member + one record rather than the whole decompressed file
+    (a 1 GiB .warc.gz is 4-5 GiB inflated)."""
+    consumed, budget = [0], [_MAX_RECORDS_PER_FILE]
+    if data[:2] != b"\x1f\x8b":
+        yield from _scan_records(data, consumed, budget)
+        return
+    buf = b""
+    for member in _iter_gzip_members(data):
+        buf = buf + member if buf else member
+        yield from _scan_records(buf, consumed, budget)
+        if budget[0] <= 0:
+            return
+        buf = buf[consumed[0] :]
 
 
 def warc_pages(
@@ -195,6 +254,12 @@ def warc_pages(
     (:func:`textstats.profile`). ``keep_status`` drops non-200 responses
     JVM-side after the scan (resource records have NULL status and are
     kept); pass None to keep everything."""
+
+    # binaryFile rows cap at 2 GiB (Int.MaxValue); one oversized plain
+    # .warc would otherwise throw and fail the JOB, not the record —
+    # filter those files out JVM-side (store such archives gzipped, or
+    # split them; the skip is the documented degrade)
+    _MAX_FILE = (1 << 31) - 1
 
     def _records(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         cols = ["url", "warc_ts", "html", "http_status", "content_type"]
@@ -220,7 +285,12 @@ def warc_pages(
             if buf:
                 yield flush(buf)
 
-    raw = spark.read.format("binaryFile").load(path).select("content")
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .filter(F.col("length") < _MAX_FILE)
+        .select("content")
+    )
     df = raw.mapInPandas(_records, schema=WARC_PAGES_SCHEMA)
     if keep_status is not None:
         df = df.filter(

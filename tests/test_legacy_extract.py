@@ -583,3 +583,24 @@ def test_ppt_textbox_in_slide_container_groups_separately():
     doc = _ppt_rec(0x000F, 0x03E8, slwt + slide1 + slide2)
     out = extract_ppt_text(_cfb({"PowerPoint Document": doc}))
     assert out == "outline one\n\noutline two\n\ntextbox one\n\ntextbox two"
+
+
+def test_ole2_dispatch_falls_back_when_root_walk_misses_format_stream():
+    """r8 review: a directory tree whose root walk reaches SOME stream
+    but not the format stream (cut sibling links from sloppy CFB
+    writers) must fall back to the flat list, not return ""."""
+    doc = _word_doc(["rescued by the flat fallback"])
+    # re-wrap the WordDocument/1Table streams so neither is reachable
+    # from the root chain (parented under ObjectPool), while a decoy
+    # stream IS root-reachable — root walk finds no dispatch name
+    from semtools_spark.operators.doc_extract import _Cfb
+
+    word = _Cfb(doc).stream("WordDocument")
+    table = _Cfb(doc).stream("1Table")
+    broken = _cfb(
+        {"CompObj": b"\x01decoy", "WordDocument": word, "1Table": table},
+        non_root=("WordDocument", "1Table"),
+    )
+    cfb = _Cfb(broken)
+    assert "WordDocument" not in cfb.root_stream_names()
+    assert extract_ole2_text(broken) == "rescued by the flat fallback"

@@ -570,3 +570,43 @@ def test_images_only_sees_image_inside_form_xobject():
         b"5 0 obj << /Subtype /Form /Length 8 >> stream\n/Fm0 Do\nendstream endobj\n"
     )
     assert PX.pdf_images_only(self_form) is False
+
+
+def test_nested_form_fanout_is_linear_not_exponential():
+    """r8 review: without memoization, k nested forms each drawn N times
+    cost N^k re-scans — a few-KB document worth minutes of CPU. The
+    memoized scan must finish instantly and still answer correctly."""
+    import time
+
+    levels, fanout = 8, 6
+    objs = []
+    # form i draws form i+1 `fanout` times; the LAST level draws nothing
+    for i in range(levels):
+        nxt = f"/F{i + 1} Do " * fanout if i + 1 < levels else ""
+        body = nxt.encode()
+        objs.append(
+            f"{10 + i} 0 obj << /Subtype /Form /Resources << /XObject "
+            f"<< /F{i + 1} {10 + i + 1} 0 R >> >> /Length {len(body)} "
+            f">> stream\n".encode() + body + b"\nendstream endobj\n"
+        )
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /XObject << /F0 10 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 7 >> stream\n/F0 Do\nendstream endobj\n"
+        + b"".join(objs)
+    )
+    t0 = time.time()
+    assert PX.pdf_images_only(data) is False
+    assert time.time() - t0 < 2.0  # N^k would be ~minutes
+    # the memo must not mask a real image deep in the chain
+    deep_img = data.replace(
+        b"17 0 obj << /Subtype /Form /Resources << /XObject "
+        b"<< /F8 18 0 R >> >> /Length 0 >> stream\n\nendstream endobj\n",
+        b"17 0 obj << /Subtype /Form /Resources << /XObject "
+        b"<< /F8 18 0 R >> >> /Length 7 >> stream\n/F8 Do\nendstream endobj\n"
+        b"18 0 obj << /Subtype /Image /Length 1 >> stream\nX\nendstream endobj\n",
+    )
+    assert PX.pdf_images_only(deep_img) is True

@@ -178,3 +178,42 @@ if _HAVE_HYP:
             data[off:off] = junk
         for rec in parse_warc(bytes(data)):
             assert isinstance(rec, dict)
+
+
+def test_response_without_http_content_type_is_null():
+    """r8 review: the envelope Content-Type ('application/http; ...')
+    describes the WARC record, not the payload — a response whose HTTP
+    headers lack Content-Type must yield NULL, not the envelope value."""
+    rec = _rec("response", _http(b"<p>x</p>", 200, ("Server: t",)),
+               uri="http://e.example/", date="2025-01-06T11:00:00Z")
+    (got,) = parse_warc(rec)
+    assert got["content_type"] is None
+    assert got["http_status"] == 200
+
+
+def test_dechunk_degrades_on_not_actually_chunked_body():
+    """r8 review: some WARC writers store the already-de-chunked body
+    while preserving the Transfer-Encoding header; slicing it by
+    imaginary chunk sizes corrupted it. Inconsistent walks keep raw."""
+    body = b"abc\r\n<html>this body is NOT chunked despite the header</html>"
+    rec = _rec("response",
+               _http(body, 200, ("Content-Type: text/html",
+                                 "Transfer-Encoding: chunked")),
+               uri="http://f.example/", date="2025-01-06T11:01:00Z")
+    (got,) = parse_warc(rec)
+    assert got["html"] == body  # degraded to raw, byte-identical
+
+
+def test_record_spanning_gzip_members_is_carried_over():
+    """r8 review: gzip members now decompress incrementally; a record
+    whose bytes straddle a member boundary must still parse (carry
+    buffer), and one-member-per-record files must not regress."""
+    r1 = _rec("response", _http(b"<p>first</p>"), uri="u1",
+              date="2025-01-06T11:02:00Z")
+    r2 = _rec("response", _http(b"<p>second</p>"), uri="u2",
+              date="2025-01-06T11:03:00Z")
+    cut = len(r1) + 37  # mid-way through r2's header/payload
+    blob = r1 + r2
+    data = gzip.compress(blob[:cut]) + gzip.compress(blob[cut:])
+    got = {r["url"]: r["html"] for r in parse_warc(data)}
+    assert got == {"u1": b"<p>first</p>", "u2": b"<p>second</p>"}
