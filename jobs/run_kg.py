@@ -29,6 +29,15 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", required=True,
                     help="input web_pages table (url, warc_ts, html, text, lang)")
+    ap.add_argument("--pages-format", choices=("parquet", "warc"),
+                    default="parquet",
+                    help="parquet (default): the input_hint table. warc: "
+                         "real Web ARChive files (plain or .warc.gz; glob "
+                         "ok, e.g. 'crawl/*.warc.gz') scanned into the "
+                         "same shape — pair with --extractor extract_any "
+                         "for mixed HTML/PDF/Office crawls. Applies to "
+                         "batch AND ingest modes (ingest streams newly "
+                         "landed archives)")
     ap.add_argument("--out", required=True, help="output/checkpoint directory")
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
@@ -97,6 +106,9 @@ def main(argv: list[str] | None = None) -> int:
         mod_name, _, fn_name = args.extractor.partition(":")
         extractor = getattr(importlib.import_module(mod_name), fn_name)
 
+    if args.pages_format != "parquet" and args.mode == "refresh":
+        ap.error("--mode refresh reads the accumulated triples, not pages; "
+                 "--pages-format does not apply")
     if args.mode == "ingest":
         if not args.stream_checkpoint:
             ap.error("--mode ingest requires --stream-checkpoint")
@@ -105,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
         batches = ingest_available(
             spark, args.pages, args.out,
             checkpoint_dir=args.stream_checkpoint, extractor=extractor,
+            pages_format=args.pages_format,
         )
         print(json.dumps({"mode": "ingest", "batches": batches}))
         return 0
@@ -135,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
         extractor=extractor,
         force=args.force,
         cc_checkpoint_dir=args.cc_checkpoint,
+        pages_format=args.pages_format,
     )
     print(json.dumps(report["stages"], sort_keys=True))
     print(json.dumps({"paths": report["paths"], "manifest": report["manifest"]}))

@@ -122,10 +122,10 @@ def read_text(spark: SparkSession, path: str) -> str | None:
 def listing(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """Sorted [(relative_path, size_bytes)] of every non-hidden file under
     ``path``, recursively — the input-fingerprint unit (works on any
-    Hadoop filesystem; empty if the path does not exist)."""
+    Hadoop filesystem; empty if the path does not exist). A glob path
+    (``dir/*.warc.gz``) fingerprints every match, so resume still
+    invalidates when files are added to a glob-scanned input."""
     fs, root = fs_and_path(spark, path)
-    if not fs.exists(root):
-        return []
     out: list[tuple[str, int]] = []
 
     def walk(p, prefix: str) -> None:
@@ -145,7 +145,17 @@ def listing(spark: SparkSession, path: str) -> list[tuple[str, int]]:
             else:
                 out.append((rel, int(st.getLen())))
 
-    walk(root, "")
+    if fs.exists(root):
+        walk(root, "")
+    else:
+        for st in fs.globStatus(root) or []:
+            # full path, not basename: two matches of dir/*/f.warc must
+            # not collapse to one fingerprint entry
+            rel = st.getPath().toUri().getPath()
+            if bool(st.isDirectory()):
+                walk(st.getPath(), rel + "/")
+            else:
+                out.append((rel, int(st.getLen())))
     return sorted(out)
 
 

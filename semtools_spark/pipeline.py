@@ -246,6 +246,7 @@ def run_webkg_pipeline(
     force: bool = False,
     fail_after: str | None = None,
     cc_checkpoint_dir: str | None = None,
+    pages_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the full pipeline. Returns per-stage metrics plus
     the output paths. ``fail_after='triples'`` raises StageFailure right
@@ -263,7 +264,16 @@ def run_webkg_pipeline(
     connected components → one survivor per near-dup cluster (min url,
     lexicographic — url string keys are first-class). Scale shape:
     map-only signatures, bucket-keyed candidate join (never all-pairs,
-    hot buckets capped), CC shuffles only the pair relation."""
+    hot buckets capped), CC shuffles only the pair relation.
+
+    ``pages_format`` selects the input reader: ``"parquet"`` (default,
+    the input_hint table) or ``"warc"`` — real Web ARChive files
+    (plain or ``.warc.gz``, globs ok) scanned straight into the parse
+    stage's input shape via :func:`sources.warc.warc_pages`. The format
+    is part of the parse fingerprint, and glob inputs are fingerprinted
+    per matched file, so resume invalidates when a crawl adds files."""
+    if pages_format not in ("parquet", "warc"):
+        raise ValueError(f"unknown pages_format {pages_format!r}")
     hfs.mkdirs(spark, out_dir)
     manifest = CheckpointManifest(spark, out_dir)
     params = {
@@ -290,6 +300,10 @@ def run_webkg_pipeline(
             )
         ),
     }
+    if pages_format != "parquet":
+        # absent for parquet so pre-existing manifests keep resuming;
+        # any other format must invalidate the parse fingerprint
+        params["pages_format"] = pages_format
     stages = list(STAGES)
     if dedup_near:
         stages.insert(1, "neardup")
@@ -374,10 +388,17 @@ def run_webkg_pipeline(
             raise StageFailure(f"injected failure after stage '{name}'")
 
     # 1. parse: html → text, byte-identical per url (P1-P7)
+    def _read_pages() -> DataFrame:
+        if pages_format == "warc":
+            from semtools_spark.sources.warc import warc_pages
+
+            return warc_pages(spark, pages_path)
+        return spark.read.parquet(pages_path)
+
     run_stage(
         "parse",
         [pages_path],
-        lambda: parse_pages(spark.read.parquet(pages_path), extractor=extractor),
+        lambda: parse_pages(_read_pages(), extractor=extractor),
     )
 
     # 1b. optional exact page dedup: byte-identical extracted text

@@ -246,6 +246,7 @@ def warc_pages(
     path: str,
     keep_status: "tuple[int, ...] | None" = (200,),
     batch_rows: int = 256,
+    stream: bool = False,
 ) -> DataFrame:
     """WARC file(s) at ``path`` (glob ok; plain or .gz) → DataFrame in
     the parse stage's input shape ``(url, warc_ts, lang, html)`` plus
@@ -253,7 +254,14 @@ def warc_pages(
     NULL — real crawls don't know it until text analysis
     (:func:`textstats.profile`). ``keep_status`` drops non-200 responses
     JVM-side after the scan (resource records have NULL status and are
-    kept); pass None to keep everything."""
+    kept); pass None to keep everything.
+
+    ``stream=True`` returns the STREAMING twin: ``readStream`` over the
+    same binaryFile source (fixed schema, so no inference needed), every
+    transformation unchanged — a crawler landing ``.warc.gz`` files into
+    a directory becomes a Structured Streaming source with the file
+    checkpoint deciding exactly-once which archives each micro-batch
+    sees (:func:`streaming.kg_ingest.ingest_available`)."""
 
     # binaryFile rows cap at 2 GiB (Int.MaxValue); one oversized plain
     # .warc would otherwise throw and fail the JOB, not the record —
@@ -285,8 +293,16 @@ def warc_pages(
             if buf:
                 yield flush(buf)
 
+    reader = spark.readStream if stream else spark.read
+    if stream:
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        reader = reader.schema(
+            "path STRING, modificationTime TIMESTAMP, "
+            "length LONG, content BINARY"
+        )
     raw = (
-        spark.read.format("binaryFile")
+        reader.format("binaryFile")
         .load(path)
         .filter(F.col("length") < _MAX_FILE)
         .select("content")

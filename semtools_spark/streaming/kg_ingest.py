@@ -63,13 +63,20 @@ def ingest_available(
     checkpoint_dir: str,
     extractor=None,
     schema: T.StructType = PAGES_STREAM_SCHEMA,
+    pages_format: str = "parquet",
 ) -> list[dict]:
     """Drain all pending page files from ``pages_dir``: each micro-batch
     runs parse → extract_triples and overwrites its own
     ``ingest_batch=<id>`` partition of the accumulated triples table.
     Returns per-batch metrics, in order (``Trigger.AvailableNow`` — the
     catch-up/backfill pattern; a production deployment runs the same
-    query with a processing-time trigger)."""
+    query with a processing-time trigger).
+
+    ``pages_format="warc"`` streams newly landed Web ARChive files
+    (plain or ``.warc.gz``) instead of parquet page files — the
+    continuous-crawl deployment: the file-source checkpoint tracks which
+    ARCHIVES were consumed, so the exactly-once partition-overwrite
+    contract is unchanged."""
     results: list[dict] = []
     triples_path = _triples_path(out_dir)
 
@@ -111,10 +118,16 @@ def ingest_available(
             {"batch_id": int(batch_id), "pages": batch_df.count(), "triples": n_triples}
         )
 
+    if pages_format == "warc":
+        from semtools_spark.sources.warc import warc_pages
+
+        source = warc_pages(spark, pages_dir, stream=True)
+    elif pages_format == "parquet":
+        source = spark.readStream.schema(schema).parquet(pages_dir)
+    else:
+        raise ValueError(f"unknown pages_format {pages_format!r}")
     q = (
-        spark.readStream.schema(schema)
-        .parquet(pages_dir)
-        .writeStream.foreachBatch(_batch)
+        source.writeStream.foreachBatch(_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -141,6 +141,51 @@ def test_run_kg_cli_ingest_and_refresh_modes(spark, tmp_path):
     assert spark.read.parquet(f"{out}/graph.parquet").count() > 0
 
 
+def _warc_record(body: bytes, uri: str,
+                 date: str = "2025-01-06T12:00:00Z") -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    head = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: {date}\r\n\r\n").encode()
+    return head + http + b"\r\n\r\n"
+
+
+def test_ingest_warc_landings(spark, tmp_path):
+    """pages_format='warc': newly landed .warc.gz archives stream through
+    the same micro-batch parse→triples — the continuous-crawl deployment.
+    The file checkpoint tracks ARCHIVES, so a second drain sees only the
+    new one, and the global refresh runs unchanged."""
+    import gzip
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    out = str(tmp_path / "kg_warc")
+    ckpt = str(tmp_path / "ckpt_warc")
+
+    (crawl / "a.warc.gz").write_bytes(gzip.compress(
+        _warc_record(b"<p>spark join table</p>", "http://w.example/1")))
+    r1 = ingest_available(spark, str(crawl), out,
+                          checkpoint_dir=ckpt, pages_format="warc")
+    assert len(r1) == 1 and r1[0]["pages"] == 1 and r1[0]["triples"] == 1
+
+    (crawl / "b.warc.gz").write_bytes(gzip.compress(
+        _warc_record(b"<p>row merge column</p>", "http://w.example/2")))
+    r2 = ingest_available(spark, str(crawl), out,
+                          checkpoint_dir=ckpt, pages_format="warc")
+    assert len(r2) == 1 and r2[0]["pages"] == 1
+    assert ingest_available(spark, str(crawl), out,
+                            checkpoint_dir=ckpt, pages_format="warc") == []
+
+    got = {
+        tuple(r)
+        for r in accumulated_triples(spark, out)
+        .select("subj", "pred", "obj").collect()
+    }
+    assert got == {("spark", "join", "table"), ("row", "merge", "column")}
+    rep = refresh_graph(spark, out, dim=32, seed=SEED)
+    assert rep["graph_rows"] == 2
+
+
 def test_ingest_zero_triple_batch_records_zero(spark, tmp_path):
     """r8: a batch whose pages yield NO triples writes no partition dir
     (dynamic overwrite of an empty frame) — metrics must record 0, not

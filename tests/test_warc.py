@@ -180,6 +180,46 @@ if _HAVE_HYP:
             assert isinstance(rec, dict)
 
 
+def test_warc_pipeline_end_to_end_with_resume(spark, tmp_path):
+    """pages_format='warc': the full KG pipeline runs straight off
+    .warc/.warc.gz files (glob input), resumes via the manifest, and —
+    because glob inputs are fingerprinted per matched file — re-parses
+    when the crawl directory gains a file."""
+    from semtools_spark.pipeline import run_webkg_pipeline
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "a.warc.gz").write_bytes(gzip.compress(_rec(
+        "response", _http(b"<p>spark join table</p>"),
+        uri="http://w.example/1", date="2025-01-06T12:00:00Z")))
+    (crawl / "b.warc").write_bytes(_rec(
+        "response", _http(b"<p>row merge column</p>"),
+        uri="http://w.example/2", date="2025-01-06T12:01:00Z"))
+    out = str(tmp_path / "kg")
+    glob_in = str(crawl) + "/*.warc*"
+
+    r1 = run_webkg_pipeline(spark, glob_in, out, pages_format="warc")
+    assert r1["stages"]["parse"] == {
+        "skipped": False, "rows": 2, "wall_s": r1["stages"]["parse"]["wall_s"],
+    }
+    graph = {(r.subj, r.pred, r.obj)
+             for r in spark.read.parquet(r1["paths"]["graph"]).collect()}
+    assert ("spark", "join", "table") in graph
+    assert ("row", "merge", "column") in graph
+
+    # same input → every stage resumes off the manifest
+    r2 = run_webkg_pipeline(spark, glob_in, out, pages_format="warc")
+    assert all(s["skipped"] for s in r2["stages"].values())
+
+    # a new crawl file under the glob must invalidate the parse stage
+    (crawl / "c.warc.gz").write_bytes(gzip.compress(_rec(
+        "response", _http(b"<p>key filter window</p>"),
+        uri="http://w.example/3", date="2025-01-06T12:02:00Z")))
+    r3 = run_webkg_pipeline(spark, glob_in, out, pages_format="warc")
+    assert r3["stages"]["parse"]["skipped"] is False
+    assert r3["stages"]["parse"]["rows"] == 3
+
+
 def test_response_without_http_content_type_is_null():
     """r8 review: the envelope Content-Type ('application/http; ...')
     describes the WARC record, not the payload — a response whose HTTP
