@@ -56,6 +56,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for CPU-dense map stages: the testdata
+    tables are single-row-group parquet files, which Spark cannot split —
+    the whole extraction/profiling pass otherwise runs as ONE task on an
+    idle cluster (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read"). No-op whenever the scan
+    already has ≥ defaultParallelism partitions (any real multi-file
+    corpus), so no shuffle is added at scale."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _query_vec() -> list[float]:
     return [float(x) for x in HashEmbedder(dim=DIM).embed_one(QUERY_TEXT)]
 
@@ -83,7 +97,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_kg_triples(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     t = kg.extract_triples(docs)
     return t.select(
         F.col("doc").cast("long").alias("doc"),
@@ -130,7 +144,7 @@ def _q_ann_threshold(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     scored = emb.withColumn("__q", vector_literal(_query_vec())).select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.floor(cosine_distance_expr("embedding", "__q") * 1000000)
+        F.floor(cosine_distance_expr("embedding", "__q", dim=DIM) * 1000000)
         .cast("long")
         .alias("dist_micro"),
     )
@@ -139,6 +153,10 @@ def _q_ann_threshold(spark, sf_dir):
 
 def _q_ann_knn_blocked(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
+    # dim deliberately NOT passed: at this gate's scale (2k vectors,
+    # ~80k pairs) the unrolled-cosine codegen compile costs more than the
+    # interpreted fold saves; the unroll pays off only on multi-million
+    # pair joins (see kg._link_entities_lsh)
     res = similarity.knn_within_blocks(
         emb, k=1, query_filter=(F.col("id") % 25 == 0)
     )
@@ -156,7 +174,7 @@ def _q_w5_filtered_search(spark, sf_dir):
     scored = emb.withColumn("__q", vector_literal(_query_vec())).select(
         F.col("label").cast("int").alias("label"),
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.floor(cosine_distance_expr("embedding", "__q") * 1000000)
+        F.floor(cosine_distance_expr("embedding", "__q", dim=DIM) * 1000000)
         .cast("long")
         .alias("dist_micro"),
     )
@@ -646,7 +664,7 @@ def _q_dedup_survivor_triples(spark, sf_dir):
 
 def _q_dedup_minhash(spark, sf_dir):
     sig = dedup.minhash_signatures(
-        _t(spark, sf_dir, "documents"), num_hashes=8
+        _par(spark, _t(spark, sf_dir, "documents")), num_hashes=8
     )
     return sig.select(F.col("doc_id").cast("long"), *[f"mh{i}" for i in range(8)])
 
@@ -656,7 +674,7 @@ def _q_dedup_jaccard(spark, sf_dir):
     engaged (df > 5 shingles dropped — non-vacuous at sf0.01: 29 shingles
     exceed the cap; the oracle replicates the filtered universe)."""
     pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"),
+        _par(spark, _t(spark, sf_dir, "documents")),
         block_cols=("lang", "source"),
         min_jaccard_micro=5000,
         max_shingle_df=5,
@@ -667,7 +685,7 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    sig = dedup.simhash_buckets(_t(spark, sf_dir, "documents"), bits=16)
+    sig = dedup.simhash_buckets(_par(spark, _t(spark, sf_dir, "documents")), bits=16)
     return sig.select(F.col("doc_id").cast("long"), F.col("simhash").cast("long"))
 
 
@@ -741,7 +759,7 @@ def _q_dedup_embedding(spark, sf_dir):
     (max_block_size=55 — non-vacuous at sf0.01: label 3 holds 59 vectors
     and is dropped; the oracle mirrors via a per-label HAVING filter)."""
     pairs = dedup.embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), max_distance=0.72, max_block_size=55
+        _t(spark, sf_dir, "embeddings"), max_distance=0.72, max_block_size=55, dim=DIM
     )
     return pairs.select(F.col("a").cast("long"), F.col("b").cast("long"), "dist_micro")
 
@@ -761,7 +779,7 @@ def _q_ann_lsh_knn(spark, sf_dir):
     bucketed = int_hyperplane_signature(emb, n_planes=8, dim=DIM)
     res = similarity.knn_within_blocks(
         bucketed, k=1, block_col="lsh_bucket",
-        query_filter=(F.col("id") % 25 == 0),
+        query_filter=(F.col("id") % 25 == 0), dim=DIM,
     )
     return res.select(
         F.col("q").cast("long"),
@@ -1066,7 +1084,7 @@ def _q_multimodal_frames(spark, sf_dir):
 
 
 def _q_text_profile(spark, sf_dir):
-    return textstats.profile(_t(spark, sf_dir, "documents")).select(
+    return textstats.profile(_par(spark, _t(spark, sf_dir, "documents"))).select(
         F.col("doc_id").cast("long"),
         "n_tokens",
         "lang_pred",

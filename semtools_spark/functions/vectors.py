@@ -31,12 +31,49 @@ def l2_norm_expr(a: str) -> Column:
     )
 
 
-def cosine_distance_expr(a: str, b: str) -> Column:
+def _unrolled_cosine_sql(a: str, b: str, dim: int) -> str:
+    """Fixed-dim cosine distance with the summation UNROLLED into plain
+    element arithmetic. Spark's higher-order functions (aggregate /
+    zip_with) are CodegenFallback — every row pays an interpreted
+    per-element lambda walk — while GetArrayItem + arithmetic stay inside
+    whole-stage codegen (guide §4.1: prefer built-ins/codegen over
+    interpreted paths). Bit-identical to the fold: IEEE addition is
+    evaluated in the same left-to-right order (``t0 + t1 + …`` associates
+    left, and the fold's leading ``0.0 + t0`` equals ``t0`` for every
+    input except ``-0.0``, whose sign cannot survive into
+    ``1 - num/den`` anyway), and NULL/NaN propagation reaches the same
+    ``CASE WHEN den > 0`` guard."""
+    num = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    na = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    nb = " + ".join(
+        f"(CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    den = f"(SQRT({na}) * SQRT({nb}))"
+    return (
+        f"CASE WHEN {den} > 0 THEN CAST(1.0 AS DOUBLE) - ({num}) / {den} "
+        f"ELSE CAST(1.0 AS DOUBLE) END"
+    )
+
+
+def cosine_distance_expr(a: str, b: str, dim: int | None = None) -> Column:
     """1 − cosine similarity; 1.0 when either norm is zero (matches the
-    convention in embedding.cosine_distance_udf)."""
+    convention in embedding.cosine_distance_udf).
+
+    ``dim`` (optional) enables the unrolled whole-stage-codegen form for
+    vectors statically known to have that length; rows whose arrays do
+    NOT match ``dim`` fall back to the fold lazily per row, so the output
+    is bit-identical to the dim=None path for every input."""
     num = dot_expr(a, b)
     den = l2_norm_expr(a) * l2_norm_expr(b)
-    return F.when(den > 0, F.lit(1.0) - num / den).otherwise(F.lit(1.0))
+    fold = F.when(den > 0, F.lit(1.0) - num / den).otherwise(F.lit(1.0))
+    if dim is None:
+        return fold
+    guard = (F.expr(f"size({a})") == dim) & (F.expr(f"size({b})") == dim)
+    return F.when(guard, F.expr(_unrolled_cosine_sql(a, b, dim))).otherwise(fold)
 
 
 def dot_sql_duckdb(a: str, b: str) -> str:

@@ -202,6 +202,12 @@ def ngram_jaccard_pairs(
         # recompute-vs-store trade, taken here because the generator is
         # the single hottest expression in the dedup family.
         tok = tok.localCheckpoint(eager=False)
+        # NOTE (r9): the hot aggregation appears 4x and sizes 2x in the
+        # printed plan (one per consumer), but runtime ReuseExchange
+        # dedupes the identical subtrees over the checkpointed tok RDD —
+        # lazy-checkpointing hot/sizes was tried and measured SLOWER
+        # (+0.7 s on the sf0.1 gate: real extra materialization passes
+        # for work the exchange reuse already shares).
         hot = (
             tok.groupBy("s")
             .agg(F.count("*").alias("__df"))
@@ -400,6 +406,7 @@ def embedding_near_dups(
     block_col: str = "label",
     max_distance: float = 0.1,
     max_block_size: int | None = 10_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocks over a pre-embedded column,
     JVM-side (codegen) cosine. Returns (a, b, dist_micro).
@@ -433,6 +440,8 @@ def embedding_near_dups(
     ).select(
         F.col("l.id").alias("a"),
         F.col("r.id").alias("b"),
-        F.floor(cosine_distance_expr("l.v", "r.v") * 1000000).cast("long").alias("dist_micro"),
+        F.floor(cosine_distance_expr("l.v", "r.v", dim=dim) * 1000000)
+        .cast("long")
+        .alias("dist_micro"),
     )
     return pairs.filter(F.col("dist_micro") < int(max_distance * 1000000))

@@ -203,6 +203,7 @@ def link_entities(
     max_distance: float | None = None,
     use_lsh_above: int | None = None,
     catalog_size: int | None = None,
+    driver_link_below: int = 8192,
 ) -> DataFrame:
     """Cosine top-1 link of each distinct mention surface form against the
     catalog — the M-query generalization of the reference's brute-force
@@ -262,6 +263,50 @@ def link_entities(
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         matn = (mat / norms[:, None]).astype(np.float32)
+        # Adaptive driver link (the connected_components small-graph
+        # philosophy applied here): when the DISTINCT surface-form set is
+        # small — bounded extraction vocabularies, early corpus slices —
+        # collect it and run the same NumPy scoring in-process. This
+        # removes the whole Python-worker machinery from the plan (the
+        # first pandas-UDF job of a session forks + imports numpy/pandas
+        # in every worker: measured ~3 s of the flagship pipeline's link
+        # stage, guide §4). Bit-identical to the UDF path: same embedder,
+        # same float32 matmul per row (row results are independent of
+        # batching), same argmax tie-break and float64 distance. The
+        # bounded ``limit(n+1)`` probe decides without a full count; web-
+        # scale mention sets exceed it and take the broadcast-UDF path.
+        probe = (
+            distinct_m.limit(driver_link_below + 1).collect()
+            if driver_link_below and driver_link_below > 0
+            else None
+        )
+        if probe is not None and len(probe) <= driver_link_below:
+            embedder = HashEmbedder(dim=dim, seed=seed)
+            texts = [r.mention if r.mention is not None else "" for r in probe]
+            q = embedder.embed_texts(texts)
+            sims = q @ matn.T
+            best = sims.argmax(axis=1)
+            dist = 1.0 - sims[np.arange(len(texts)), best].astype(np.float64)
+            schema = T.StructType(
+                [
+                    T.StructField("mention", T.StringType()),
+                    T.StructField("entity_id", T.LongType()),
+                    T.StructField("link_distance", T.DoubleType()),
+                    T.StructField("rescued", T.BooleanType(), False),
+                ]
+            )
+            linked = spark.createDataFrame(
+                [
+                    (r.mention, int(ids[b]), float(d), False)
+                    for r, b, d in zip(probe, best, dist)
+                ],
+                schema,
+            )
+            linked._semtools_broadcasts = []
+            if max_distance is not None:
+                linked = linked.filter(F.col("link_distance") < float(max_distance))
+                linked._semtools_broadcasts = []
+            return linked
         bc = spark.sparkContext.broadcast((ids, matn))
         broadcasts = [bc]
         _link = _make_link_udf(bc, dim, seed)
@@ -275,6 +320,80 @@ def link_entities(
         linked = linked.filter(F.col("link_distance") < float(max_distance))
     linked._semtools_broadcasts = broadcasts
     return linked
+
+
+def _embed_probe_udf(dim: int, seed: int, n_planes: int, n_probes: int):
+    """Fused mention → (embedding, probe_buckets) pandas UDF: ONE Python
+    boundary crossing instead of embed-UDF + a JVM multi-probe signature
+    pass (guide §4.2 — batch the custom math into vectorized NumPy).
+    Bit-identical to similarity.multi_probe_signatures: floor(1e6·x) on
+    the float64-widened float32 embedding is the same IEEE op either
+    side, the ±1-weight dot is exact int64, and the flip order
+    (|dot| asc, plane asc) matches the struct array_sort tie-break."""
+    from semtools_spark.operators.similarity import int_plane_weights
+
+    w = int_plane_weights(n_planes, dim, seed)
+    out_t = T.StructType(
+        [
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("probe_buckets", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _ep(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        embedder = HashEmbedder(dim=dim, seed=seed)
+        bits = 1 << np.arange(n_planes, dtype=np.int64)
+        for s in batches:
+            if len(s) == 0:
+                yield pd.DataFrame({"embedding": [], "probe_buckets": []})
+                continue
+            mat = embedder.embed_texts(s.fillna("").tolist())  # (n, dim) f32
+            f = np.floor(mat.astype(np.float64) * 1000000.0).astype(np.int64)
+            dots = f @ w.T  # exact int64
+            base = ((dots > 0) * bits).sum(axis=1)
+            order = np.argsort(np.abs(dots), axis=1, kind="stable")[:, :n_probes]
+            flips = base[:, None] ^ (np.int64(1) << order.astype(np.int64))
+            buckets = np.concatenate([base[:, None], flips], axis=1)
+            yield pd.DataFrame(
+                {"embedding": list(mat), "probe_buckets": list(buckets)}
+            )
+
+    return _ep
+
+
+def _int_signature_udf(dim: int, seed: int, n_planes: int):
+    """Arrow-vectorized twin of similarity.int_hyperplane_signature for
+    pre-embedded float32 arrays: floors → exact int64 ±1 dot → sign bits,
+    one NumPy matmul per batch (the JVM fold runs interpreted per element
+    per plane — at n_planes·|catalog| scale that was the second-largest
+    cost of the LSH link). Raises on a dim mismatch like _dim_guard."""
+    from semtools_spark.operators.similarity import int_plane_weights
+
+    w = int_plane_weights(n_planes, dim, seed)
+
+    @F.pandas_udf(T.LongType())
+    def _sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bits = 1 << np.arange(n_planes, dtype=np.int64)
+        for s in batches:
+            if len(s) == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            try:
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+            except ValueError as e:
+                raise ValueError(
+                    f"expected embedding vectors of length {dim}: {e}"
+                ) from e
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"expected embedding vectors of length {dim}, "
+                    f"got length {mat.shape[1]}"
+                )
+            f = np.floor(mat * 1000000.0).astype(np.int64)
+            yield pd.Series(((f @ w.T > 0) * bits).sum(axis=1))
+
+    return _sig
 
 
 def _link_entities_lsh(
@@ -326,22 +445,18 @@ def _link_entities_lsh(
        threshold or drop approximate links (pair with ``max_distance``
        to make a wrong-sample rescue filterable).
     """
-    from semtools_spark.embedding import embed_udf
     from semtools_spark.functions.vectors import cosine_distance_expr
-    from semtools_spark.operators.similarity import (
-        int_hyperplane_signature,
-        multi_probe_signatures,
-    )
 
     spark = distinct_m.sparkSession
     if n_planes is None:
         n_cat = catalog_size if catalog_size is not None else catalog.count()
         n_planes = min(20, max(8, (max(1, n_cat) // 32).bit_length()))
-    m_emb = distinct_m.withColumn(
-        "embedding", embed_udf(dim=dim, seed=seed)(F.col("mention"))
-    )
     # m_probe feeds both the candidate join and the missed-mention
-    # computation: a lazy local checkpoint makes that ONE embed-UDF pass.
+    # computation: a lazy local checkpoint makes that ONE pass. The
+    # embedding AND the multi-probe signature are computed in a SINGLE
+    # fused pandas UDF (guide §4.2): the embedding is already Python-side,
+    # so signing it there costs one NumPy matmul per batch instead of a
+    # second boundary crossing plus the interpreted per-element JVM fold.
     # (Lineage-cutting the downstream cosine join is deliberately NOT
     # done: Dataset.localCheckpoint materialized the tiny top1 relation
     # ~100x slower than computing it — 62 s for 1.5k mentions — and
@@ -349,26 +464,70 @@ def _link_entities_lsh(
     # relation was slower still, 280 s vs 110 s end-to-end at a 150k
     # catalog. Instead the plan below is shaped so the cosine join has
     # exactly ONE consumer.)
-    m_probe = multi_probe_signatures(
-        m_emb, n_planes=n_planes, dim=dim, seed=seed, n_probes=n_probes
-    ).localCheckpoint(eager=False)
+    # AQE coalesces the post-distinct shuffle by BYTE size, which is the
+    # wrong proxy for a compute-dense stage: a few MB of distinct mention
+    # strings collapse to 1-2 partitions and the embed UDF (and the
+    # cosine join below) run nearly serially on an idle cluster
+    # (measured: 2 tasks on 32 cores — 6.05 s for the embed pass, 12.2 s
+    # for the candidate join). An explicit repartition with a pinned
+    # partition count is exempt from AQE coalescing; the count is derived
+    # from cluster parallelism (conf-driven — scales with the cluster,
+    # not tuned to this box), and hash-partitioning the join inputs by
+    # the bucket key makes the candidate join co-partitioned: zero
+    # additional Exchange inside the join itself.
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    m_probe = (
+        distinct_m.repartition(n_parts, "mention")
+        .withColumn(
+            "__ep",
+            _embed_probe_udf(dim, seed, n_planes, n_probes)(F.col("mention")),
+        )
+        .select(
+            "mention",
+            F.col("__ep.embedding").alias("embedding"),
+            F.col("__ep.probe_buckets").alias("probe_buckets"),
+        )
+        .localCheckpoint(eager=False)
+    )
     m_cand = m_probe.select(
         "mention", "embedding", F.explode("probe_buckets").alias("lsh_bucket")
     )
-    c_sig = int_hyperplane_signature(
-        catalog.select("entity_id", "embedding"), n_planes=n_planes, dim=dim, seed=seed
-    )
+    # ONE signature pass over the catalog (Arrow-vectorized, bit-identical
+    # to similarity.int_hyperplane_signature): c_sig feeds both the
+    # candidate join and the bucket-set semi-join below — the lazy lineage
+    # cut stops each consumer re-running the per-row signature scan.
+    c_sig = catalog.select(
+        "entity_id",
+        "embedding",
+        _int_signature_udf(dim, seed, n_planes)(F.col("embedding")).alias(
+            "lsh_bucket"
+        ),
+    ).localCheckpoint(eager=False)
     best = F.min_by(
         F.struct("entity_id", "link_distance"),
         F.struct("link_distance", "entity_id"),
     ).alias("__b")
+    # co-partition both join inputs on the bucket key with a pinned count
+    # (see n_parts above): the per-pair cosine is the densest compute of
+    # the whole link — AQE's byte-proxy coalescing must not serialize it,
+    # and matching partitioning means the join itself adds no Exchange.
+    # Results are partitioning-independent: min_by's (distance, entity)
+    # order is total, so the per-mention winner is unique.
     top1 = (
-        m_cand.alias("m")
-        .join(c_sig.alias("c"), F.col("m.lsh_bucket") == F.col("c.lsh_bucket"))
+        m_cand.repartition(n_parts, "lsh_bucket").alias("m")
+        .join(
+            c_sig.repartition(n_parts, "lsh_bucket").alias("c"),
+            F.col("m.lsh_bucket") == F.col("c.lsh_bucket"),
+        )
         .select(
             F.col("m.mention").alias("mention"),
             F.col("c.entity_id").alias("entity_id"),
-            cosine_distance_expr("m.embedding", "c.embedding").alias("link_distance"),
+            cosine_distance_expr("m.embedding", "c.embedding", dim=dim).alias(
+                "link_distance"
+            ),
         )
         .groupBy("mention")
         .agg(best)

@@ -293,7 +293,7 @@ def search_embeddings(
 
     scored = emb.withColumn("__q", vector_literal(query_vec)).select(
         F.col(id_col),
-        cosine_distance_expr(vec_col, "__q").alias("distance"),
+        cosine_distance_expr(vec_col, "__q", dim=len(query_vec)).alias("distance"),
     )
     if max_distance is not None:
         return scored.filter(F.col("distance") < float(max_distance)).orderBy(

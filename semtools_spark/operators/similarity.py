@@ -44,12 +44,16 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k for one query vector: map-side distance, partial top-k
-    per partition, driver merge (TakeOrderedAndProject) — no shuffle."""
+    per partition, driver merge (TakeOrderedAndProject) — no shuffle.
+    ``dim`` opts into the unrolled codegen cosine — worth it for corpus-
+    scale scans; the one-time codegen compile outweighs it on small
+    tables, so it is off by default."""
     scored = emb.withColumn("__q", vector_literal(query_vec)).select(
         F.col(id_col),
-        F.floor(cosine_distance_expr(vec_col, "__q") * 1000000)
+        F.floor(cosine_distance_expr(vec_col, "__q", dim=dim) * 1000000)
         .cast("long")
         .alias("dist_micro"),
     )
@@ -63,6 +67,7 @@ def knn_within_blocks(
     vec_col: str = "embedding",
     block_col: str = "label",
     query_filter=None,
+    dim: int | None = None,
 ) -> DataFrame:
     """For each (filtered) row, its k nearest neighbors within its block:
     block-equi-join (shuffle on the block key, never all-pairs) + windowed
@@ -77,7 +82,7 @@ def knn_within_blocks(
         .select(
             F.col("l.id").alias("q"),
             F.col("r.id").alias("neighbor"),
-            F.floor(cosine_distance_expr("l.v", "r.v") * 1000000)
+            F.floor(cosine_distance_expr("l.v", "r.v", dim=dim) * 1000000)
             .cast("long")
             .alias("dist_micro"),
         )
@@ -161,6 +166,7 @@ def int_hyperplane_signature(
         term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
         sig = term if sig is None else (sig + term)
     return emb.withColumn(out_col, _dim_guard(vec_col, dim, sig))
+
 
 
 def multi_probe_signatures(
@@ -523,5 +529,5 @@ def lsh_bucket_ann(
     bucketed = hyperplane_signature(emb, n_planes, dim, seed, vec_col)
     return knn_within_blocks(
         bucketed, k=k, id_col=id_col, vec_col=vec_col,
-        block_col="lsh_bucket", query_filter=query_filter,
+        block_col="lsh_bucket", query_filter=query_filter, dim=dim,
     )

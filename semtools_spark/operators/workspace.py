@@ -1874,7 +1874,7 @@ class Workspace:
             "doc",
             "line_no",
             "line",
-            cosine_distance_expr("embedding", "__q").alias("distance"),
+            cosine_distance_expr("embedding", "__q", dim=self.dim).alias("distance"),
         )
         if max_distance is not None:
             scored = scored.filter(F.col("distance") < float(max_distance))
