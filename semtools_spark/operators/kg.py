@@ -190,7 +190,12 @@ def _make_link_udf(bc, dim: int, seed: int):
             dist = 1.0 - sims[np.arange(len(s)), best].astype(np.float64)
             yield pd.DataFrame({"entity_id": ids[best], "link_distance": dist})
 
-    return _link
+    # asNondeterministic (guide §4.4): a max_distance filter over the
+    # returned struct's link_distance otherwise pushes below the
+    # projection and the optimizer duplicates the UDF — the whole
+    # catalog matmul per row, twice. The scorer is a pure function of
+    # (mention, broadcast catalog); results are unchanged.
+    return _link.asNondeterministic()
 
 
 def link_entities(
@@ -479,8 +484,15 @@ def _link_entities_lsh(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
+    # KEYLESS round-robin, not repartition(n, "mention"): a same-key
+    # repartition directly above the distinct is eliminated as redundant
+    # (hash partitioning on mention already satisfies the clustering,
+    # whatever its partition count), which silently re-exposes the stage
+    # to AQE's byte-based coalescing — measured: the embed stage ran with
+    # 1-2 tasks despite the "repartition(32)". Round-robin survives and
+    # balances perfectly for a per-row UDF.
     m_probe = (
-        distinct_m.repartition(n_parts, "mention")
+        distinct_m.repartition(n_parts)
         .withColumn(
             "__ep",
             _embed_probe_udf(dim, seed, n_planes, n_probes)(F.col("mention")),
@@ -803,25 +815,28 @@ def connected_components(
             )
         ).distinct()
 
-    # One probe (= one job) per round. Batching 2 rounds per probe was
-    # measured SLOWER at toy scale (17.5 s vs 9.5 s on the sf0.1 gate
-    # graph): the doubled-depth lazy plan pays more in codegen compile +
-    # AQE replanning than the saved job costs. Durable mode must probe
-    # per round anyway — each round is a resume point.
-    rounds_per_probe = 1
+    # Local mode probes every 2 rounds but still CUTS lineage every round
+    # (lazy checkpoints are free until an action, so one probe job
+    # materializes both rounds' checkpoints back-to-back): half the job
+    # submissions and half the convergence aggregations, with per-round
+    # plan depth unchanged. (The r7 experiment that batched 2 rounds with
+    # a single cut per probe WAS slower — the doubled-depth plan paid
+    # more in codegen + AQE replanning; cutting every round avoids that.)
+    # Durable mode keeps one probe per round — each round is a resume
+    # point and must be written + fingerprinted individually.
+    rounds_per_probe = 1 if checkpoint_dir is not None else 2
     prev_sig = sig0 if sig0 is not None else _sig(e)
     iters_left = max_iterations
     round_no = start_round
     while iters_left > 0:
         k = min(rounds_per_probe, iters_left)
         for _ in range(k):
-            e = _one_round(e)
+            # lineage cut at each round (local: lazy checkpoint so the
+            # next probe is the materializing job; durable: parquet
+            # write + read-back, the resume point)
+            e = _cut(_one_round(e), round_no)
+            round_no += 1
         iters_left -= k
-        # lineage cut at each probe (local: lazy checkpoint so the
-        # convergence probe IS the materializing job; durable: parquet
-        # write + read-back, the resume point)
-        e = _cut(e, round_no)
-        round_no += 1
         new_sig = _sig(e)
         if (prev_sig.c, prev_sig.s) == (new_sig.c, new_sig.s):
             if k == 1:

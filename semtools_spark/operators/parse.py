@@ -148,10 +148,18 @@ def parse_pages(pages: DataFrame, extractor=None) -> DataFrame:
     pass_df = base.filter(is_pass).select(
         "url", "warc_ts", "lang", F.decode(F.col("html"), "UTF-8").alias("text")
     )
+    # asNondeterministic (guide §4.4): a downstream filter on the
+    # extracted text column (extract_triples filters empty docs) is
+    # otherwise pushed below this projection and the optimizer DUPLICATES
+    # the UDF — two ArrowEvalPython nodes, every page extracted twice
+    # (measured: 51 extractor calls for 26 pages on the ingest path).
+    # The extractor contract is a pure function, so results are
+    # unchanged; the marking only forbids the optimizer from duplicating
+    # or reordering the call.
     text_expr = (
         extract_text_expr("html")
         if extractor is None
-        else extract_text_udf(extractor)(F.col("html"))
+        else extract_text_udf(extractor).asNondeterministic()(F.col("html"))
     )
     parse_df = base.filter(~is_pass).select(
         "url", "warc_ts", "lang", text_expr.alias("text")

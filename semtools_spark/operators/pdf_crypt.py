@@ -237,11 +237,20 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 
 def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """CBC decrypt of aligned data (no unpadding — caller strips).
-    Blocks are ECB-decrypted, then the chain XOR (prev ciphertext block)
-    is applied in ONE whole-buffer big-int XOR — CPython does that at
-    memcpy-like speed, so the per-block Python work is the cipher only."""
+    """CBC decrypt of 16-byte-ALIGNED data (no unpadding — caller
+    strips). Misaligned input raises ValueError up front — the previous
+    behavior was an incidental OverflowError from the final short block's
+    slice-assign, which read as an internal bug rather than a violated
+    precondition (ADVICE r8). Blocks are ECB-decrypted, then the chain
+    XOR (prev ciphertext block) is applied in ONE whole-buffer big-int
+    XOR — CPython does that at memcpy-like speed, so the per-block Python
+    work is the cipher only."""
     n = len(data)
+    if n % 16:
+        raise ValueError(
+            f"aes_cbc_decrypt: data length {n} is not a multiple of the "
+            "16-byte AES block size (caller must pass whole blocks)"
+        )
     if n == 0:
         return b""
     dk, nr = _dec_schedule(key)

@@ -74,7 +74,12 @@ def score_lines(
     """
     q = query.lower() if ignore_case else query
     qvec = HashEmbedder(dim=dim, seed=seed).embed_one(q)
-    udf = score_udf(qvec, dim=dim, seed=seed, lowercase=ignore_case)
+    # asNondeterministic (guide §4.4): threshold mode filters on this
+    # column, and the pushed-down filter otherwise DUPLICATES the UDF —
+    # two ArrowEvalPython nodes, every line embedded and scored twice.
+    # The scorer is pure (seeded static embedding), so results are
+    # unchanged; the marking only stops the optimizer from cloning it.
+    udf = score_udf(qvec, dim=dim, seed=seed, lowercase=ignore_case).asNondeterministic()
     return lines.withColumn("distance", udf(F.col("line")))
 
 

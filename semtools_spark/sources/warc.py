@@ -56,21 +56,49 @@ WARC_PAGES_SCHEMA = T.StructType(
 
 _MAX_HEADER_BYTES = 64 * 1024     # a WARC/HTTP header block beyond this is junk
 _MAX_RECORDS_PER_FILE = 1 << 22   # runaway bound, far above real files
+#: decompression-bomb ceiling per gzip member / per HTTP body: crawl
+#: bytes are untrusted, and a crafted deflate stream inflates ~1000:1 —
+#: an unbounded decompress of a few-MB member could allocate GBs on an
+#: executor. Past the ceiling the member/body degrades (walk ends with
+#: the records decoded so far / body kept raw), the same truncation
+#: contract as everywhere else in this module. Real WARC members are one
+#: record each (≪ 1 GiB inflated).
+_MAX_INFLATED_BYTES = 1 << 30
+_INFLATE_CHUNK = 1 << 20
 
 
 def _iter_gzip_members(data: bytes) -> "Iterator[bytes]":
     """Yield each gzip member's decompressed bytes in order (the
     .warc.gz layout stores one record per member). A corrupt tail ends
-    the walk with the members decoded so far."""
+    the walk with the members decoded so far; a member inflating past
+    ``_MAX_INFLATED_BYTES`` (decompression bomb) ends it too. Inflation
+    is chunked (``max_length`` loop) so the ceiling bounds peak memory,
+    not just the final size."""
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(47)
+        chunks: list[bytes] = []
+        total = 0
+        src: bytes = rest
         try:
-            yield d.decompress(rest)
+            while True:
+                out = d.decompress(src, _INFLATE_CHUNK)
+                chunks.append(out)
+                total += len(out)
+                if total > _MAX_INFLATED_BYTES:
+                    return  # bomb: stop the walk, keep prior members
+                if d.eof:
+                    break
+                if not d.unconsumed_tail:
+                    # input exhausted mid-member (truncated archive):
+                    # yield the partial member, matching the pre-chunked
+                    # behavior, then end the walk
+                    yield b"".join(chunks)
+                    return
+                src = d.unconsumed_tail
         except zlib.error:
             return
-        if not d.eof:
-            return
+        yield b"".join(chunks)
         rest = d.unused_data
 
 
@@ -153,13 +181,36 @@ def _http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]":
     enc = headers.get("content-encoding", "").lower()
     if enc in ("gzip", "x-gzip") or (enc == "deflate"):
         try:
-            body = zlib.decompress(body, 47 if enc != "deflate" else -15)
+            body = _bounded_inflate(body, 47 if enc != "deflate" else -15)
         except zlib.error:
             try:  # some servers send zlib-wrapped "deflate"
-                body = zlib.decompress(body, 15)
+                body = _bounded_inflate(body, 15)
             except zlib.error:
                 pass  # keep the raw bytes — degrade, don't drop
     return status, ctype, body
+
+
+def _bounded_inflate(body: bytes, wbits: int) -> bytes:
+    """zlib.decompress with the same ``_MAX_INFLATED_BYTES`` ceiling as
+    the member walk (untrusted Content-Encoding bodies inflate ~1000:1).
+    Matches zlib.decompress semantics otherwise: raises zlib.error on a
+    truncated stream (the caller degrades to raw bytes), ignores bytes
+    trailing a complete stream."""
+    d = zlib.decompressobj(wbits)
+    chunks: list[bytes] = []
+    total = 0
+    src: bytes = body
+    while True:
+        out = d.decompress(src, _INFLATE_CHUNK)
+        chunks.append(out)
+        total += len(out)
+        if total > _MAX_INFLATED_BYTES:
+            raise zlib.error("inflated body exceeds the per-record ceiling")
+        if d.eof:
+            return b"".join(chunks)
+        if not d.unconsumed_tail:
+            raise zlib.error("incomplete or truncated stream")
+        src = d.unconsumed_tail
 
 
 def _scan_records(data: bytes, consumed: "list[int]",
@@ -214,7 +265,10 @@ def _scan_records(data: bytes, consumed: "list[int]",
         yield {
             "url": headers.get("warc-target-uri"),
             "warc_ts": headers.get("warc-date"),
-            "html": body,
+            # bytes(): ``data`` may be the carry BYTEARRAY (record spans
+            # gzip members) — normalize so downstream Arrow conversion
+            # always sees bytes; a no-op (same object) when already bytes
+            "html": bytes(body),
             "http_status": status,
             "content_type": ctype,
         }
@@ -232,13 +286,25 @@ def parse_warc(data: bytes) -> "Iterator[dict]":
     if data[:2] != b"\x1f\x8b":
         yield from _scan_records(data, consumed, budget)
         return
-    buf = b""
+    # the carry buffer is a bytearray trimmed in place (del buf[:consumed])
+    # — rebuilding it with ``buf = buf + member`` copied the whole carry
+    # once per member, O(k²) bytes when one record spans k gzip members
+    # (ADVICE r8); the common one-record-per-member file keeps the carry
+    # empty and scans each member directly, no copy at all
+    buf = bytearray()
     for member in _iter_gzip_members(data):
-        buf = buf + member if buf else member
-        yield from _scan_records(buf, consumed, budget)
-        if budget[0] <= 0:
-            return
-        buf = buf[consumed[0] :]
+        if buf:
+            buf += member
+            yield from _scan_records(buf, consumed, budget)
+            if budget[0] <= 0:
+                return
+            del buf[: consumed[0]]
+        else:
+            yield from _scan_records(member, consumed, budget)
+            if budget[0] <= 0:
+                return
+            if consumed[0] < len(member):
+                buf += member[consumed[0] :]
 
 
 def warc_pages(

@@ -81,6 +81,22 @@ def ingest_available(
     triples_path = _triples_path(out_dir)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE source decode per micro-batch: with a mapInPandas source
+        # (pages_format="warc") an un-persisted batch_df re-runs gunzip +
+        # record parsing for isEmpty(), for the triples write, AND for
+        # the pages count — 2-3x the ingest's dominant cost spent on
+        # metrics. persist() makes isEmpty() materialize partition 0 into
+        # the cache, the write materialize the rest, and count() read the
+        # cache: each archive is decoded exactly once. MEMORY_AND_DISK
+        # spill semantics bound memory for oversized batches; unpersist
+        # in finally so no blocks outlive the batch.
+        batch_df.persist()
+        try:
+            _run_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _run_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         parsed = parse_pages(batch_df, extractor=extractor)

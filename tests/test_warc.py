@@ -257,3 +257,60 @@ def test_record_spanning_gzip_members_is_carried_over():
     data = gzip.compress(blob[:cut]) + gzip.compress(blob[cut:])
     got = {r["url"]: r["html"] for r in parse_warc(data)}
     assert got == {"u1": b"<p>first</p>", "u2": b"<p>second</p>"}
+
+
+def test_decompression_bomb_member_degrades(monkeypatch):
+    """ADVICE r8: a crafted gzip member inflating past the per-member
+    ceiling must END the walk (records decoded so far kept) instead of
+    allocating the full inflated size — the record-count budget does not
+    bound bytes, this ceiling does."""
+    import zlib
+
+    import semtools_spark.sources.warc as W
+
+    r1 = _rec("response", _http(b"<p>ok</p>"), uri="u1",
+              date="2025-01-06T12:00:00Z")
+    bomb = gzip.compress(b"\x00" * (8 << 20))  # ~8 KiB compressed, 8 MiB inflated
+    monkeypatch.setattr(W, "_MAX_INFLATED_BYTES", 1 << 20)
+    recs = list(parse_warc(gzip.compress(r1) + bomb))
+    assert [r["url"] for r in recs] == ["u1"]
+    assert recs[0]["html"] == b"<p>ok</p>"
+    # and the same ceiling applied to a well-formed small archive is a no-op
+    recs2 = list(parse_warc(gzip.compress(r1)))
+    assert [r["url"] for r in recs2] == ["u1"]
+
+
+def test_content_encoding_bomb_keeps_raw_body(monkeypatch):
+    """ADVICE r8: an HTTP body whose Content-Encoding inflate exceeds the
+    ceiling degrades to the RAW bytes (same contract as a corrupt
+    stream), never allocating the inflated size."""
+    import semtools_spark.sources.warc as W
+
+    big = gzip.compress(b"A" * (8 << 20))
+    rec = _rec(
+        "response",
+        _http(big, 200, ("Content-Type: text/html", "Content-Encoding: gzip")),
+        uri="u-bomb", date="2025-01-06T12:01:00Z",
+    )
+    monkeypatch.setattr(W, "_MAX_INFLATED_BYTES", 1 << 20)
+    got = {r["url"]: r["html"] for r in parse_warc(rec)}
+    assert got["u-bomb"] == big  # raw kept, not inflated
+    # under the default ceiling the same body inflates normally
+    monkeypatch.undo()
+    got2 = {r["url"]: r["html"] for r in parse_warc(rec)}
+    assert got2["u-bomb"] == b"A" * (8 << 20)
+
+
+def test_many_member_spanning_record_linear_carry():
+    """ADVICE r8: one record spanning MANY gzip members must round-trip
+    through the bytearray carry (the rebuilt-bytes form copied O(k²));
+    html must come back as plain bytes."""
+    body = b"<p>" + b"x" * 5000 + b"</p>"
+    rec = _rec("response", _http(body), uri="u-span",
+               date="2025-01-06T12:02:00Z")
+    pieces = [rec[i : i + 97] for i in range(0, len(rec), 97)]
+    data = b"".join(gzip.compress(p) for p in pieces)
+    recs = list(parse_warc(data))
+    assert [r["url"] for r in recs] == ["u-span"]
+    assert type(recs[0]["html"]) is bytes
+    assert recs[0]["html"] == body
