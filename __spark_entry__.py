@@ -663,8 +663,12 @@ def _q_dedup_survivor_triples(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
+    # no _par floor: the signature pass is ~0.5 s single-task at sf0.1 —
+    # comparable to the exchange the floor would add (A/B: 0.23-0.33 s
+    # with vs 0.18-0.22 s without), unlike text_profile where the
+    # protected compute is ~30x the exchange
     sig = dedup.minhash_signatures(
-        _par(spark, _t(spark, sf_dir, "documents")), num_hashes=8
+        _t(spark, sf_dir, "documents"), num_hashes=8
     )
     return sig.select(F.col("doc_id").cast("long"), *[f"mh{i}" for i in range(8)])
 
@@ -689,7 +693,7 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    sig = dedup.simhash_buckets(_par(spark, _t(spark, sf_dir, "documents")), bits=16)
+    sig = dedup.simhash_buckets(_t(spark, sf_dir, "documents"), bits=16)
     return sig.select(F.col("doc_id").cast("long"), F.col("simhash").cast("long"))
 
 

@@ -170,9 +170,6 @@ def cmd_cc():
         .filter(F.col("prev").isNotNull())
         .select(F.col("prev").alias("src"), F.col("vec_id").alias("dst"))
     )
-    times = []
-    orig_sig = None
-
     t_all = time.time()
     comp = kg.connected_components(edges, small_graph_threshold=0)
     n = comp.count()

@@ -240,4 +240,7 @@ def test_batch_decoded_once_and_unpersisted(spark, tmp_path):
     )
     assert len(r) == 1 and r[0]["pages"] == 30
     assert acc.value == n_parse  # exactly one extraction per parsed page
-    assert persisted_after == persisted_before  # batch persist released
+    # no NEW lingering blocks (≤, not ==: the shared test session may
+    # hold other tests' lazy-checkpoint blocks that the ContextCleaner
+    # releases at any time, so the absolute count can shrink under us)
+    assert persisted_after <= persisted_before  # batch persist released
