@@ -866,7 +866,11 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in e.toLocalIterator():
+    # collect(), not toLocalIterator(): the caller only takes this path
+    # when the edge count is known to be under small_graph_threshold, so
+    # the rows fit the driver by contract — and toLocalIterator runs one
+    # job PER PARTITION sequentially where collect is a single job.
+    for row in e.collect():
         ra, rb = find(row.u), find(row.v)
         if ra != rb:
             # union by min so the root IS the component id
